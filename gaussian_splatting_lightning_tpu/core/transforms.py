@@ -1,0 +1,214 @@
+"""Splatting geometry: quaternions, 3D/2D covariances (EWA), conics, radii.
+
+Behavioral spec: the reference's pure-Python rasterizer math
+(``gs_lightning/rasterize/render_tools.py`` and ``camera_tools.py``) — the
+executable specification for our kernels. Everything here is pure ``jnp``,
+shape-polymorphic over a leading batch axis, and differentiable.
+
+Conventions (load-bearing, easy to get silently wrong):
+- Row-vector matrices: points transform as ``p_hom @ M``
+  (reference ``camera_tools.py:21-27``); ``viewmatrix`` stores translation in
+  its last *row*.
+- Projection maps z to [0, 1] with z_sign=+1 (reference ``utils/camera.py``).
+- 2D covariance is dilated by +0.3 px *before* both inversion and radius
+  (the reference mutates cov2D in-place in ``inverse_conv2D``,
+  ``render_tools.py:79-80``, so ``compute_extent_and_radius`` at
+  ``rasterize.py:79`` sees the dilated matrix).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+COV_DILATION = 0.3  # reference render_tools.py:73 (h_var)
+RADIUS_FACTOR = 3.0
+FRUSTUM_NEAR_Z = 0.2  # reference camera_tools.py:7
+
+
+def normalize_quat(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Normalize wxyz quaternions, (..., 4)."""
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """wxyz unit quaternion -> rotation matrix. (..., 4) -> (..., 3, 3)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    r = jnp.stack(
+        [
+            1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+            2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+            2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
+def build_cov3d(
+    scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: float = 1.0
+) -> jnp.ndarray:
+    """Sigma = R S S^T R^T, upper triangle (xx, xy, xz, yy, yz, zz).
+
+    Spec: reference ``render_tools.py:56-70`` (computeConv3D). ``quats`` are
+    assumed normalized. (..., 3), (..., 4) -> (..., 6).
+    """
+    R = quat_to_rotmat(quats)
+    s = scales * scale_modifier
+    L = R * s[..., None, :]  # R @ diag(s)
+    cov = L @ jnp.swapaxes(L, -1, -2)
+    return jnp.stack(
+        [
+            cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+            cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def cov3d_to_matrix(cov6: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) upper triangle -> (..., 3, 3) symmetric."""
+    m = jnp.stack(
+        [
+            cov6[..., 0], cov6[..., 1], cov6[..., 2],
+            cov6[..., 1], cov6[..., 3], cov6[..., 4],
+            cov6[..., 2], cov6[..., 4], cov6[..., 5],
+        ],
+        axis=-1,
+    )
+    return m.reshape(cov6.shape[:-1] + (3, 3))
+
+
+def apply_extrinsic(points: jnp.ndarray, viewmatrix: jnp.ndarray) -> jnp.ndarray:
+    """[p, 1] @ view -> (..., 4). Spec: camera_tools.py:21-27."""
+    ones = jnp.ones(points.shape[:-1] + (1,), dtype=points.dtype)
+    return jnp.concatenate([points, ones], axis=-1) @ viewmatrix
+
+
+def apply_projection(
+    points: jnp.ndarray, projmatrix: jnp.ndarray, eps: float = 1e-7
+) -> jnp.ndarray:
+    """Homogeneous projection -> NDC xy, (..., 2). Spec: camera_tools.py:10-19."""
+    ones = jnp.ones(points.shape[:-1] + (1,), dtype=points.dtype)
+    p_hom = jnp.concatenate([points, ones], axis=-1) @ projmatrix
+    p_w = 1.0 / (p_hom[..., -1:] + eps)
+    return (p_hom * p_w)[..., :2]
+
+
+def in_frustum(p_view: jnp.ndarray) -> jnp.ndarray:
+    """Visibility = view-space z > 0.2 only (reference camera_tools.py:5-8;
+    the NDC bounds check is deliberately commented out upstream)."""
+    return p_view[..., 2] > FRUSTUM_NEAR_Z
+
+
+def ndc_to_pix(ndc_xy: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """NDC -> pixel coords. Spec: camera_tools.py:29-32."""
+    x = ((ndc_xy[..., 0] + 1.0) * width - 1.0) * 0.5
+    y = ((ndc_xy[..., 1] + 1.0) * height - 1.0) * 0.5
+    return jnp.stack([x, y], axis=-1)
+
+
+def project_cov3d_ewa(
+    means3d: jnp.ndarray,
+    cov6: jnp.ndarray,
+    viewmatrix: jnp.ndarray,
+    focal_x: float,
+    focal_y: float,
+    tan_fovx: float,
+    tan_fovy: float,
+) -> jnp.ndarray:
+    """EWA projection of 3D covariance to screen space.
+
+    Spec: reference ``render_tools.py:13-52`` (computeConv2D). Returns the
+    *undilated* 2x2 covariance as (..., 3) = (a, b, d) for [[a, b], [b, d]].
+    """
+    p_view = apply_extrinsic(means3d, viewmatrix)
+    z = p_view[..., 2]
+    lim_x, lim_y = 1.3 * tan_fovx, 1.3 * tan_fovy
+    x = jnp.clip(p_view[..., 0] / z, -lim_x, lim_x) * z
+    y = jnp.clip(p_view[..., 1] / z, -lim_y, lim_y) * z
+
+    inv_z = 1.0 / z
+    inv_z2 = inv_z * inv_z
+    # J rows: [fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2] (3rd row unused).
+    j00 = focal_x * inv_z
+    j02 = -focal_x * x * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * y * inv_z2
+
+    # Row-vector viewmatrix => world->cam rotation (column form) is view[:3,:3]^T.
+    W = viewmatrix[:3, :3].T  # (3, 3)
+    # T = J @ W, keeping only the two needed rows. t0/t1: (..., 3)
+    t0 = j00[..., None] * W[0] + j02[..., None] * W[2]
+    t1 = j11[..., None] * W[1] + j12[..., None] * W[2]
+
+    V = cov3d_to_matrix(cov6)
+    v_t0 = jnp.einsum("...ij,...j->...i", V, t0)
+    v_t1 = jnp.einsum("...ij,...j->...i", V, t1)
+    a = jnp.einsum("...i,...i->...", t0, v_t0)
+    b = jnp.einsum("...i,...i->...", t0, v_t1)
+    d = jnp.einsum("...i,...i->...", t1, v_t1)
+    return jnp.stack([a, b, d], axis=-1)
+
+
+def conic_and_radius(
+    cov2d: jnp.ndarray, antialias: bool = False
+):
+    """Dilate cov2d, invert to a conic, compute the 3-sigma pixel radius.
+
+    Spec: reference ``render_tools.py:73-116`` (inverse_conv2D +
+    compute_extent_and_radius — radius uses the *dilated* covariance).
+
+    Returns (conic (...,3), radius (...,), valid (...,), opacity_scale (...,)).
+    """
+    a, b, d = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det_raw = a * d - b * b
+    a_h, d_h = a + COV_DILATION, d + COV_DILATION
+    det = a_h * d_h - b * b
+
+    if antialias:
+        opacity_scale = jnp.sqrt(jnp.maximum(det_raw / det, 0.000025))
+    else:
+        opacity_scale = jnp.ones_like(det_raw)
+
+    valid = det != 0.0
+    det_inv = 1.0 / jnp.maximum(det, 1e-5)
+    conic = jnp.stack([d_h * det_inv, -b * det_inv, a_h * det_inv], axis=-1)
+
+    mid = 0.5 * (a_h + d_h)
+    sqrt_term = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    lam_max = mid + sqrt_term  # sqrt_term >= 0 so this is the larger root
+    radius = jnp.ceil(RADIUS_FACTOR * jnp.sqrt(lam_max))
+    return conic, radius, valid, opacity_scale
+
+
+def tile_rect(
+    p_pix: jnp.ndarray,
+    radius: jnp.ndarray,
+    grid_x: int,
+    grid_y: int,
+    block_x: int = 16,
+    block_y: int = 16,
+):
+    """Tile-index bounding rect covered by each splat.
+
+    Spec: reference ``render_tools.py:134-139`` (get_covered_tiles) — note the
+    truncation-toward-zero of ``.int()`` on the pre-clamp quotient.
+    Returns (x_min, y_min, x_max, y_max), each (...,) int32, half-open ranges.
+    """
+    px, py = p_pix[..., 0], p_pix[..., 1]
+    x_min = jnp.clip(jnp.trunc((px - radius) / block_x).astype(jnp.int32), 0, grid_x)
+    y_min = jnp.clip(jnp.trunc((py - radius) / block_y).astype(jnp.int32), 0, grid_y)
+    x_max = jnp.clip(
+        jnp.trunc((px + radius + block_x - 1) / block_x).astype(jnp.int32), 0, grid_x
+    )
+    y_max = jnp.clip(
+        jnp.trunc((py + radius + block_y - 1) / block_y).astype(jnp.int32), 0, grid_y
+    )
+    return x_min, y_min, x_max, y_max
+
+
+def inverse_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.log(x / (1.0 - x))

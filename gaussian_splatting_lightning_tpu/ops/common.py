@@ -1,0 +1,102 @@
+"""Shared rasterizer definitions: constants, preprocess stage, output pytree.
+
+The per-Gaussian preprocess (frustum cull -> cov3D -> EWA cov2D -> conic +
+radius -> SH color -> pixel-space mean) is identical across all rasterizer
+implementations (jnp oracle, tiled XLA, Pallas) and is plain differentiable
+jnp — XLA fuses it into a handful of VPU loops. Spec: reference
+``gs_lightning/rasterize/rasterize.py:49-94``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splatting_lightning_tpu.core import sh as sh_lib
+from gaussian_splatting_lightning_tpu.core import transforms as tf
+from gaussian_splatting_lightning_tpu.core.camera import Camera
+
+BLOCK_X = 16  # tile size, reference rasterize.py:19-20
+BLOCK_Y = 16
+ALPHA_CLAMP = 0.99  # reference rasterize.py:197/245
+ALPHA_THRESHOLD = 1.0 / 255.0  # reference rasterize.py:193/223
+TRANSMITTANCE_EPS = 1e-4  # reference rasterize.py:204/254
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Preprocessed:
+    """Per-Gaussian screen-space quantities (all (N, ...))."""
+
+    p_pix: jnp.ndarray  # (N, 2) pixel-space means
+    depth: jnp.ndarray  # (N,) view-space z
+    conic: jnp.ndarray  # (N, 3) inverse of dilated 2D covariance (a, b, d)
+    rgb: jnp.ndarray  # (N, 3)
+    opacity: jnp.ndarray  # (N,) post antialias-scaling
+    radius: jnp.ndarray  # (N,) 3-sigma pixel radius; 0 where not visible
+    visible: jnp.ndarray  # (N,) bool: in frustum & invertible cov & alive
+
+
+def preprocess(
+    means3d: jnp.ndarray,  # (N, 3)
+    opacities: jnp.ndarray,  # (N,) or (N, 1) post-activation
+    scales: jnp.ndarray,  # (N, 3) post-activation
+    quats: jnp.ndarray,  # (N, 4) normalized
+    sh: jnp.ndarray,  # (N, K, 3)
+    camera: Camera,
+    width: int,
+    height: int,
+    sh_degree,
+    max_sh_degree: Optional[int] = None,
+    scale_modifier: float = 1.0,
+    antialias: bool = False,
+    alive: Optional[jnp.ndarray] = None,  # (N,) bool; padded-capacity mask
+    means2d_ndc_offset: Optional[jnp.ndarray] = None,  # (N, 2) zeros whose
+    # gradient is the densification screen-space signal (NDC units, matching
+    # the CUDA rasterizer's means2D grad; reference gs_lightning_module.py:316)
+) -> Preprocessed:
+    opacities = opacities.reshape(-1)
+    p_view = tf.apply_extrinsic(means3d, camera.viewmatrix)
+    p_ndc = tf.apply_projection(means3d, camera.projmatrix)
+    if means2d_ndc_offset is not None:
+        p_ndc = p_ndc + means2d_ndc_offset
+    visible = tf.in_frustum(p_view)
+    if alive is not None:
+        visible = visible & alive
+
+    focal_x = (width * 0.5) / camera.tanfovx
+    focal_y = (height * 0.5) / camera.tanfovy
+    cov6 = tf.build_cov3d(scales, quats, scale_modifier)
+    cov2d = tf.project_cov3d_ewa(
+        means3d, cov6, camera.viewmatrix, focal_x, focal_y,
+        camera.tanfovx, camera.tanfovy,
+    )
+    conic, radius, valid, opacity_scale = tf.conic_and_radius(cov2d, antialias)
+    visible = visible & valid
+    radius = jnp.where(visible, radius, 0.0)
+
+    rgb = sh_lib.sh_to_rgb(sh, means3d, camera.campos, sh_degree, max_sh_degree)
+    p_pix = tf.ndc_to_pix(p_ndc, width, height)
+    return Preprocessed(
+        p_pix=p_pix,
+        depth=p_view[..., 2],
+        conic=conic,
+        rgb=rgb,
+        opacity=opacities * opacity_scale,
+        radius=radius,
+        visible=visible,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderOutput:
+    """Mirrors the reference rasterizer's return tuple
+    (rendered_image, radii, depth_image) — gs_lightning_module.py:339-348."""
+
+    image: jnp.ndarray  # (3, H, W)
+    radii: jnp.ndarray  # (N,) float, 0 for culled splats
+    depth: jnp.ndarray  # (1, H, W) inverse-depth-weighted (sum w/z)
