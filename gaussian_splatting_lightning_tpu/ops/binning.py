@@ -1,0 +1,126 @@
+"""Tile binning: fixed-shape, allocation-free TPU redesign of the CUDA
+duplicate->radix-sort pipeline.
+
+The CUDA rasterizer (reference N1; notes/rasterizer_note.h:27-41) counts
+touched tiles per splat, prefix-sums, materializes (tile|depth)-keyed
+duplicates in a dynamically resized buffer, and radix-sorts them. Dynamic
+allocation and data-dependent shapes don't exist under XLA, so the TPU design
+is:
+
+1. Sort splats by view depth once, globally (lax.sort — O(N log N), runs on
+   chip). Per-tile depth order is then a subsequence of the global order.
+2. Expand (splat, tile) pairs into a *static* budget of ``max_pairs`` slots
+   with searchsorted over the exclusive prefix sum of tiles-touched — every
+   slot computes its (gaussian, tile) pair independently (pure vector code).
+   Because expansion enumerates splats in depth order, pair order within a
+   tile is already depth-ascending.
+3. One *stable* sort by tile id groups pairs per tile while preserving depth
+   order — a 16/32-bit single-key sort instead of CUDA's 64-bit
+   (tile|depth) radix sort.
+4. Per-tile [start, count) ranges via searchsorted.
+
+Overflowing pairs (budget exhausted) drop the *farthest* splats first —
+graceful degradation, with the drop count reported for logging (the
+"no silent caps" rule).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splatting_lightning_tpu.core import transforms as tf
+from gaussian_splatting_lightning_tpu.ops.common import BLOCK_X, BLOCK_Y, Preprocessed
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TileBins:
+    """Depth-then-tile ordered (splat, tile) pairs with per-tile ranges."""
+
+    pair_gaussian: jnp.ndarray  # (M,) int32 index into the original arrays
+    pair_tile: jnp.ndarray  # (M,) int32 tile id; == n_tiles for padding
+    pair_valid: jnp.ndarray  # (M,) bool
+    tile_start: jnp.ndarray  # (T,) int32 offset into pair arrays
+    tile_count: jnp.ndarray  # (T,) int32
+    num_pairs: jnp.ndarray  # scalar int32: total pairs before the budget cap
+    num_dropped: jnp.ndarray  # scalar int32 pairs dropped by the budget
+
+
+def build_tile_bins(
+    prep: Preprocessed,
+    grid_x: int,
+    grid_y: int,
+    max_pairs: int,
+) -> TileBins:
+    n = prep.depth.shape[0]
+    n_tiles = grid_x * grid_y
+
+    x0, y0, x1, y1 = tf.tile_rect(prep.p_pix, prep.radius, grid_x, grid_y)
+    nx = jnp.maximum(x1 - x0, 0)
+    ny = jnp.maximum(y1 - y0, 0)
+    ntiles = jnp.where(prep.visible, nx * ny, 0).astype(jnp.int32)
+
+    # (1) global depth sort; culled splats last.
+    depth_key = jnp.where(prep.visible, prep.depth, jnp.inf)
+    order = jnp.argsort(depth_key)  # stable
+    ntiles_s = ntiles[order]
+    x0_s, nx_s = x0[order], jnp.maximum(nx[order], 1)
+
+    # (2) static-budget pair expansion.
+    offsets = jnp.cumsum(ntiles_s) - ntiles_s  # exclusive prefix sum
+    total = offsets[-1] + ntiles_s[-1]
+    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    g_s = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1
+    g_s = jnp.clip(g_s, 0, n - 1)
+    local = slot - offsets[g_s]
+    tile_x = x0_s[g_s] + local % nx_s[g_s]
+    tile_y = y0[order][g_s] + local // nx_s[g_s]
+    valid = slot < jnp.minimum(total, max_pairs)
+    tile_id = jnp.where(
+        valid, tile_y * grid_x + tile_x, n_tiles
+    ).astype(jnp.int32)
+
+    # (3) stable tile sort preserves depth order within each tile.
+    perm = jnp.argsort(tile_id)
+    pair_tile = tile_id[perm]
+    pair_gaussian = order[g_s][perm].astype(jnp.int32)
+    pair_valid = valid[perm]
+
+    # (4) per-tile ranges.
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(pair_tile, tile_ids, side="right").astype(jnp.int32)
+
+    return TileBins(
+        pair_gaussian=pair_gaussian,
+        pair_tile=pair_tile,
+        pair_valid=pair_valid,
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
+        num_pairs=total,
+        num_dropped=jnp.maximum(total - max_pairs, 0),
+    )
+
+
+def build_tile_table(bins: TileBins, n_tiles: int, capacity: int) -> jnp.ndarray:
+    """(T, K) table of pair indices, -1 padded; entry k is the k-th nearest
+    member of the tile. Used by the XLA compositing path (the Pallas path
+    walks [tile_start, tile_start+count) directly)."""
+    m = bins.pair_tile.shape[0]
+    pos = jnp.arange(m, dtype=jnp.int32) - bins.tile_start[
+        jnp.clip(bins.pair_tile, 0, n_tiles - 1)
+    ]
+    table = jnp.full((n_tiles, capacity), -1, dtype=jnp.int32)
+    row = jnp.where(bins.pair_valid, bins.pair_tile, n_tiles)
+    col = jnp.where(pos < capacity, pos, capacity)
+    table = table.at[row, col].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop"
+    )
+    return table
+
+
+def grid_shape(width: int, height: int):
+    return (width + BLOCK_X - 1) // BLOCK_X, (height + BLOCK_Y - 1) // BLOCK_Y
