@@ -1,0 +1,170 @@
+"""View dataset over a COLMAP reconstruction.
+
+Behavioral spec: reference ``ColmapDataset`` / ``ColmapDataModule``
+(``gs_lightning/datasets/colmap_dataset.py``): per-view dict of {image,
+tanfovx/y, background, viewmatrix, projmatrix, campos}, resize_to/downscale,
+optional mask multiply, white/black background, full in-RAM preload, and
+index-file train/valid splits. Host-side numpy; the training loop stacks views
+into device batches (the reference is pinned to batch=1 — we batch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from gaussian_splatting_lightning_tpu.core.camera import get_projection_matrix
+from gaussian_splatting_lightning_tpu.data import colmap as colmap_io
+
+
+@dataclasses.dataclass
+class ViewItem:
+    """One view, host-side (numpy). Arrays are float32."""
+
+    image: np.ndarray  # (3, H, W) in [0, 1]
+    viewmatrix: np.ndarray  # (4, 4) row-vector
+    projmatrix: np.ndarray  # (4, 4) full = view @ proj^T
+    campos: np.ndarray  # (3,)
+    tanfovx: float
+    tanfovy: float
+    background: np.ndarray  # (3,)
+    name: str = ""
+
+
+def _load_image(path: Path) -> np.ndarray:
+    import imageio.v2 as imageio
+
+    img = imageio.imread(path)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    return np.asarray(img)[..., :3]
+
+
+def _resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    import cv2
+
+    return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+
+
+class ColmapDataset:
+    """Spec: reference ``ColmapDataset`` (colmap_dataset.py:24-145)."""
+
+    def __init__(
+        self,
+        colmap_path: str,
+        image_folder: str,
+        image_idx: Optional[Union[Sequence[int], str]] = None,
+        mask_folder: Optional[str] = None,
+        resize_to: Optional[int] = None,
+        downscale: Optional[float] = None,
+        white_background: bool = False,
+        z_near: float = 0.01,
+        z_far: float = 100.0,
+        preload_data: bool = True,
+        reconstruction: Optional[colmap_io.Reconstruction] = None,
+    ):
+        self.image_folder = Path(image_folder)
+        self.mask_folder = Path(mask_folder) if mask_folder else None
+        self.resize_to = resize_to
+        self.downscale = downscale
+        self.z_near, self.z_far = z_near, z_far
+        self.background = (
+            np.ones(3, np.float32) if white_background else np.zeros(3, np.float32)
+        )
+
+        self.reconstruction = reconstruction or colmap_io.read_reconstruction(
+            colmap_path
+        )
+        self.image_indices = self._load_image_idx(image_idx)
+        if self.image_indices is None:
+            self.image_indices = sorted(self.reconstruction.images.keys())
+        self._cache = {}
+        if preload_data:
+            for i in range(len(self)):
+                self._cache[i] = self.build_item(i)
+
+    @staticmethod
+    def _load_image_idx(image_idx) -> Optional[List[int]]:
+        if image_idx is None:
+            return None
+        if isinstance(image_idx, (list, tuple, np.ndarray)):
+            return [int(i) for i in image_idx]
+        arr = np.loadtxt(image_idx, delimiter=",", dtype=np.int64).reshape(-1)
+        return [int(i) for i in arr]
+
+    def __len__(self) -> int:
+        return len(self.image_indices)
+
+    def __getitem__(self, index: int) -> ViewItem:
+        if index not in self._cache:
+            self._cache[index] = self.build_item(index)
+        return self._cache[index]
+
+    def build_item(self, index: int) -> ViewItem:
+        """Spec: colmap_dataset.py:77-109 (matrix chain) and 124-145 (image)."""
+        img_info = self.reconstruction.images[self.image_indices[index]]
+        cam_info = self.reconstruction.cameras[img_info.camera_id]
+
+        image = self._load_image_to_array(img_info.name)
+
+        world_view = np.eye(4)
+        world_view[:, :3] = img_info.cam_from_world().T
+        projection = get_projection_matrix(
+            cam_info.fx, cam_info.fy, cam_info.width, cam_info.height,
+            self.z_near, self.z_far,
+        ).T
+        full_proj = world_view @ projection
+        campos = np.linalg.inv(world_view)[3, :3]
+
+        return ViewItem(
+            image=image,
+            viewmatrix=world_view.astype(np.float32),
+            projmatrix=full_proj.astype(np.float32),
+            campos=campos.astype(np.float32),
+            tanfovx=float((cam_info.width * 0.5) / cam_info.fx),
+            tanfovy=float((cam_info.height * 0.5) / cam_info.fy),
+            background=self.background,
+            name=img_info.name,
+        )
+
+    def _load_image_to_array(self, image_name: str) -> np.ndarray:
+        image = _load_image(self.image_folder / image_name)
+        h, w = image.shape[:2]
+        if self.downscale is not None:
+            h, w = int(h * self.downscale), int(w * self.downscale)
+        elif self.resize_to is not None:
+            scale = self.resize_to / max(h, w)
+            h, w = int(h * scale), int(w * scale)
+        else:
+            raise ValueError("either 'downscale' or 'resize_to' must be set")
+        image = _resize(image, w, h).astype(np.float32) / 255.0
+        if self.mask_folder is not None:
+            mask = _load_image(self.mask_folder / image_name)
+            mask = _resize(mask, w, h).astype(np.float32) / 255.0
+            image = image * mask
+        return np.moveaxis(image, -1, 0).astype(np.float32)
+
+
+class ViewSampler:
+    """Iteration-count-defined random sampling without replacement.
+
+    Spec: reference ``ConfigTrainDataloader`` (datasets/dataloader.py:11-21):
+    torch RandomSampler draws repeated fresh permutations of the view set
+    until num_iters samples are yielded — reproduced with numpy permutations.
+    """
+
+    def __init__(self, n_views: int, seed: int = 0):
+        self.n_views = n_views
+        self.rng = np.random.default_rng(seed)
+        self._perm: List[int] = []
+
+    def next_index(self) -> int:
+        if not self._perm:
+            self._perm = list(self.rng.permutation(self.n_views))
+        return int(self._perm.pop(0))
+
+    def next_batch(self, batch_size: int) -> List[int]:
+        return [self.next_index() for _ in range(batch_size)]
