@@ -1,0 +1,332 @@
+"""The training loop: jit-compiled step + host-side cadence control.
+
+Functional redesign of the reference's ``GSLightningModule``
+(``gs_lightning/lightning/gs_lightning_module.py``). One compiled
+``train_step`` covers forward render, loss, backward, Adam update, and
+densification-statistic accumulation; the shape-mutating events of the
+reference (densify/prune, opacity reset, SH warmup) are separate small jitted
+transforms fired on the exact cadences of the reference's
+``on_train_batch_start`` (gs_lightning_module.py:144-161):
+
+  step t (0-based, == Lightning global_step at batch start), t >= 1:
+    - densify stats from step t-1 are already accumulated (in-step tail)
+    - if t > densify_since and t % densify_interval == 0 and
+      t < densify_until:   densify_and_prune (+ Adam surgery)
+    - if t % opacity_reset_interval == 0:  reset opacity
+    - if t % sh_degree_step_interval == 0: step SH degree
+
+Checkpoint/resume (orbax: scene + Adam state + step — a capability the
+reference lacks, SURVEY §5) plus reference-compatible PLY export every
+validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_lightning_tpu.core.camera import Camera
+from gaussian_splatting_lightning_tpu.models import gaussians as gm
+from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import (
+    TilingConfig,
+    rasterize_tiled,
+)
+from gaussian_splatting_lightning_tpu.training.densify import (
+    DensifyConfig,
+    accumulate_stats,
+    densify_and_prune,
+)
+from gaussian_splatting_lightning_tpu.training.loss import photometric_loss
+from gaussian_splatting_lightning_tpu.training.optimizer import (
+    AdamState,
+    OptimizerConfig,
+    adam_update,
+    init_adam,
+    make_lr_schedules,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Defaults mirror the reference CFGTrainer (gs_lightning_module.py:21-45)
+    + configs/train_gs.yaml."""
+
+    num_iters: int = 30_000
+    w_ssim: float = 0.2
+    log_interval: int = 100
+    valid_interval: int = 1000
+    checkpoint_interval: int = 5000
+    seed: int = 42
+    capacity: int = 1 << 20
+    antialias: bool = False
+    densify: DensifyConfig = DensifyConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
+    tiling: TilingConfig = TilingConfig()
+
+
+def render_scene(
+    scene: gm.GaussianScene,
+    camera: Camera,
+    width: int,
+    height: int,
+    background: jnp.ndarray,
+    tiling: TilingConfig = TilingConfig(),
+    antialias: bool = False,
+    means2d_ndc_offset=None,
+):
+    """Render with live activations — the reference's ``render`` wrapper
+    (gs_lightning_module.py:301-350) minus the settings-object ceremony."""
+    return rasterize_tiled(
+        scene.params.xyz,
+        scene.get_opacity(),
+        scene.get_scales(),
+        scene.get_rotation(),
+        scene.get_features(),
+        camera, width, height, background,
+        scene.active_sh_degree,
+        config=tiling,
+        max_sh_degree=scene.max_sh_degree,
+        antialias=antialias,
+        alive=scene.alive,
+        means2d_ndc_offset=means2d_ndc_offset,
+    )
+
+
+def make_train_step(
+    cfg: TrainConfig,
+    spatial_scale: float,
+    width: int,
+    height: int,
+):
+    """Build the jitted train step for a fixed image size."""
+    schedules = make_lr_schedules(cfg.optimizer, spatial_scale)
+
+    def train_step(scene: gm.GaussianScene, adam: AdamState, step, camera: Camera,
+                   image: jnp.ndarray, background: jnp.ndarray):
+        offset = jnp.zeros((scene.capacity, 2), scene.params.xyz.dtype)
+
+        def loss_fn(params, offset):
+            live = dataclasses.replace(scene, params=params)
+            out, stats = render_scene(
+                live, camera, width, height, background,
+                cfg.tiling, cfg.antialias, means2d_ndc_offset=offset,
+            )
+            loss, logs = photometric_loss(out.image, image, cfg.w_ssim)
+            return loss, (out.radii, logs, stats)
+
+        grads, (radii, logs, stats) = jax.grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(scene.params, offset)
+        param_grads, screen_grads = grads
+
+        new_params, adam = adam_update(
+            scene.params, param_grads, adam, schedules, cfg.optimizer, step
+        )
+        scene = dataclasses.replace(scene, params=new_params)
+        # densification signal for the *next* batch start
+        # (gs_lightning_module.py:175-178)
+        scene = accumulate_stats(scene, radii, screen_grads)
+        logs = dict(logs)
+        logs["n_gaussians"] = scene.n_alive()
+        logs["num_dropped_pairs"] = stats["num_dropped_pairs"]
+        logs["num_tile_overflow"] = stats["num_tile_overflow"]
+        return scene, adam, logs
+
+    return jax.jit(train_step, donate_argnums=(0, 1))
+
+
+def make_eval_step(cfg: TrainConfig, width: int, height: int):
+    def eval_step(scene, camera, image, background):
+        out, _ = render_scene(
+            scene, camera, width, height, background, cfg.tiling, cfg.antialias
+        )
+        _, logs = photometric_loss(out.image, image, cfg.w_ssim)
+        return out.image, out.depth, logs
+
+    return jax.jit(eval_step)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=(
+    "cfg", "spatial_scale", "apply_screensize"))
+def densify_step(scene, adam, key, cfg: DensifyConfig, spatial_scale,
+                 apply_screensize):
+    return densify_and_prune(
+        scene, adam, key, cfg, spatial_scale, apply_screensize
+    )
+
+
+@jax.jit
+def opacity_reset_step(scene):
+    return scene.reset_opacity()
+
+
+@jax.jit
+def sh_degree_step(scene):
+    return scene.step_sh_degree()
+
+
+class Trainer:
+    """Host-side orchestration: cadences, logging, eval, checkpoints."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        scene: gm.GaussianScene,
+        spatial_scale: float,
+        train_views,  # sequence of ViewItem (all same image size)
+        valid_views=(),
+        out_dir: Optional[str] = None,
+        log_fn=print,
+    ):
+        self.cfg = cfg
+        self.scene = scene
+        self.adam = init_adam(scene.params)
+        self.spatial_scale = float(spatial_scale)
+        self.train_views = list(train_views)
+        self.valid_views = list(valid_views)
+        self.out_dir = Path(out_dir) if out_dir else None
+        if self.out_dir:
+            self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.log_fn = log_fn
+        self.step = 0
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+        h, w = self.train_views[0].image.shape[-2:]
+        self.height, self.width = h, w
+        self._train_step = make_train_step(cfg, self.spatial_scale, w, h)
+        self._eval_step = make_eval_step(cfg, w, h)
+        self._sampler_rng = np.random.default_rng(cfg.seed)
+        self._perm: list = []
+        self.history: list = []
+
+    # -- view sampling: fresh permutations, one view per step --------------
+    def _next_view(self):
+        if not self._perm:
+            self._perm = list(self._sampler_rng.permutation(len(self.train_views)))
+        return self.train_views[self._perm.pop(0)]
+
+    def _camera_of(self, view) -> Camera:
+        return Camera(
+            viewmatrix=jnp.asarray(view.viewmatrix),
+            projmatrix=jnp.asarray(view.projmatrix),
+            campos=jnp.asarray(view.campos),
+            tanfovx=jnp.asarray(view.tanfovx),
+            tanfovy=jnp.asarray(view.tanfovy),
+        )
+
+    def maybe_densify(self):
+        """Cadence gate: reference on_train_batch_start
+        (gs_lightning_module.py:144-161)."""
+        t, d = self.step, self.cfg.densify
+        if t < 1:
+            return
+        if (
+            t < d.densify_until
+            and t > d.densify_since
+            and t % d.densify_interval == 0
+        ):
+            self.key, sub = jax.random.split(self.key)
+            self.scene, self.adam, stats = densify_step(
+                self.scene, self.adam, sub, d, self.spatial_scale,
+                t > d.opacity_reset_interval,
+            )
+            if int(stats["n_dropped_children"]) > 0:
+                self.log_fn(
+                    f"[densify] step {t}: capacity full, dropped "
+                    f"{int(stats['n_dropped_children'])} children"
+                )
+        if t % d.opacity_reset_interval == 0:
+            self.scene = opacity_reset_step(self.scene)
+        if t % d.sh_degree_step_interval == 0:
+            self.scene = sh_degree_step(self.scene)
+
+    def train(self, num_iters: Optional[int] = None):
+        num_iters = num_iters or self.cfg.num_iters
+        t_start = time.perf_counter()
+        for _ in range(num_iters):
+            self.maybe_densify()
+            view = self._next_view()
+            self.scene, self.adam, logs = self._train_step(
+                self.scene, self.adam, self.step, self._camera_of(view),
+                jnp.asarray(view.image), jnp.asarray(view.background),
+            )
+            if self.step % self.cfg.log_interval == 0:
+                logs = {k: float(v) for k, v in logs.items()}
+                logs["step"] = self.step
+                logs["elapsed_s"] = time.perf_counter() - t_start
+                self.history.append(logs)
+                self.log_fn(
+                    f"step {self.step}: loss={logs['loss']:.4f} "
+                    f"psnr={logs['psnr']:.2f} n={int(logs['n_gaussians'])}"
+                )
+                if self.out_dir:
+                    with open(self.out_dir / "train_log.jsonl", "a") as f:
+                        f.write(json.dumps(logs) + "\n")
+            if (
+                self.valid_views
+                and self.step > 0
+                and self.step % self.cfg.valid_interval == 0
+            ):
+                self.validate()
+            if (
+                self.out_dir
+                and self.step > 0
+                and self.step % self.cfg.checkpoint_interval == 0
+            ):
+                self.save_checkpoint()
+            self.step += 1
+        return self.scene
+
+    def validate(self):
+        metrics = []
+        for view in self.valid_views:
+            _, _, logs = self._eval_step(
+                self.scene, self._camera_of(view),
+                jnp.asarray(view.image), jnp.asarray(view.background),
+            )
+            metrics.append({k: float(v) for k, v in logs.items()})
+        mean = {
+            f"valid_{k}": float(np.mean([m[k] for m in metrics]))
+            for k in metrics[0]
+        }
+        mean["step"] = self.step
+        self.log_fn(
+            f"[valid] step {self.step}: psnr={mean['valid_psnr']:.2f} "
+            f"loss={mean['valid_loss']:.4f}"
+        )
+        if self.out_dir:
+            with open(self.out_dir / "valid_log.jsonl", "a") as f:
+                f.write(json.dumps(mean) + "\n")
+            gm.save_ply(self.scene, self.out_dir / f"point_cloud-{self.step:08d}.ply")
+        return mean
+
+    # -- checkpoint/resume (capability the reference lacks) ----------------
+    def save_checkpoint(self):
+        import orbax.checkpoint as ocp
+
+        path = (self.out_dir / f"ckpt-{self.step:08d}").absolute()
+        ckpt = {
+            "scene": self.scene,
+            "adam": self.adam,
+            "step": self.step,
+        }
+        ocp.PyTreeCheckpointer().save(path, ckpt, force=True)
+
+    def restore_checkpoint(self, path):
+        import orbax.checkpoint as ocp
+
+        template = {"scene": self.scene, "adam": self.adam, "step": 0}
+        ckpt = ocp.PyTreeCheckpointer().restore(
+            Path(path).absolute(), item=template
+        )
+        self.scene, self.adam, self.step = (
+            ckpt["scene"], ckpt["adam"], int(ckpt["step"]),
+        )

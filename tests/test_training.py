@@ -1,0 +1,311 @@
+"""Training-layer tests: schedule parity, SSIM sanity, Adam parity vs torch,
+densify semantics, and a synthetic end-to-end training run."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splatting_lightning_tpu.core.camera import make_camera
+from gaussian_splatting_lightning_tpu.models import from_points
+from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import TilingConfig
+from gaussian_splatting_lightning_tpu.ops.ssim import psnr, ssim
+from gaussian_splatting_lightning_tpu.training import (
+    DensifyConfig,
+    OptimizerConfig,
+    TrainConfig,
+    Trainer,
+    accumulate_stats,
+    adam_update,
+    densify_and_prune,
+    init_adam,
+    make_lr_schedules,
+    warmup_exp_decay_schedule,
+)
+from gaussian_splatting_lightning_tpu.training.trainer import render_scene
+
+RNG = np.random.default_rng(11)
+
+
+def test_schedule_matches_reference():
+    torch = pytest.importorskip("torch")
+    from tests.ref_oracle import load_reference_module
+
+    sched_mod = load_reference_module("scheduler")
+    p = torch.nn.Parameter(torch.zeros(3))
+    opt = torch.optim.Adam(
+        [{"params": [p], "lr": 0.1, "name": "xyz"},
+         {"params": [torch.nn.Parameter(torch.zeros(2))], "lr": 0.5, "name": "other"}]
+    )
+    ref = sched_mod.GSWarmUpExponentialDecayScheduler(
+        optimizer=opt, param="xyz", max_steps=1000, lr_init=0.1,
+        lr_final=0.001, lr_delay_multi=0.01, lr_delay_step=100,
+    )
+    ours = warmup_exp_decay_schedule(0.1, 0.001, 1000, 100, 0.01)
+    for step in range(0, 1200, 37):
+        # torch scheduler state: lr for step t is applied after t steps
+        while ref.last_epoch < step:
+            ref.step()
+        ref_lr = opt.param_groups[0]["lr"]
+        np.testing.assert_allclose(float(ours(step)), ref_lr, rtol=1e-6)
+        # non-target group untouched
+        assert opt.param_groups[1]["lr"] == 0.5
+
+
+def test_ssim_properties():
+    a = jnp.asarray(RNG.uniform(size=(3, 32, 48)).astype(np.float32))
+    assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-5)
+    b = jnp.clip(a + 0.25, 0, 1)
+    val = float(ssim(a, b))
+    assert 0.0 < val < 1.0
+    # symmetric
+    assert val == pytest.approx(float(ssim(b, a)), abs=1e-6)
+    # psnr of identical images is huge, of noise is small
+    assert float(psnr(a, a)) > 60
+    assert float(psnr(a, jnp.zeros_like(a))) < 15
+
+
+def test_adam_matches_torch():
+    torch = pytest.importorskip("torch")
+    n = 16
+    init = {
+        "xyz": RNG.normal(size=(n, 3)).astype(np.float32),
+        "features_dc": RNG.normal(size=(n, 1, 3)).astype(np.float32),
+        "features_rest": RNG.normal(size=(n, 15, 3)).astype(np.float32),
+        "opacity": RNG.normal(size=(n, 1)).astype(np.float32),
+        "scales": RNG.normal(size=(n, 3)).astype(np.float32),
+        "quats": RNG.normal(size=(n, 4)).astype(np.float32),
+    }
+    from gaussian_splatting_lightning_tpu.models.gaussians import GaussianParams
+
+    params = GaussianParams(**{k: jnp.asarray(v) for k, v in init.items()})
+    cfg = OptimizerConfig()
+    schedules = make_lr_schedules(cfg, spatial_scale=2.5)
+    state = init_adam(params)
+
+    tparams = {k: torch.nn.Parameter(torch.from_numpy(v.copy())) for k, v in init.items()}
+    lr_rest = cfg.feature_lr / cfg.r_dc2rest
+    topt = torch.optim.Adam(
+        [
+            {"params": [tparams["xyz"]], "lr": 0.0, "name": "xyz"},
+            {"params": [tparams["features_dc"]], "lr": cfg.feature_lr},
+            {"params": [tparams["features_rest"]], "lr": lr_rest},
+            {"params": [tparams["opacity"]], "lr": cfg.opacity_lr},
+            {"params": [tparams["scales"]], "lr": cfg.scaling_lr},
+            {"params": [tparams["quats"]], "lr": cfg.rotation_lr},
+        ],
+        eps=1e-15,
+    )
+    xyz_sched = make_lr_schedules(cfg, 2.5)["xyz"]
+
+    for step in range(5):
+        grads = {
+            k: RNG.normal(size=v.shape).astype(np.float32) for k, v in init.items()
+        }
+        gp = GaussianParams(**{k: jnp.asarray(v) for k, v in grads.items()})
+        params, state = adam_update(params, gp, state, schedules, cfg, step)
+
+        topt.param_groups[0]["lr"] = float(xyz_sched(step))
+        for k, t in tparams.items():
+            t.grad = torch.from_numpy(grads[k])
+        topt.step()
+        topt.zero_grad()
+
+    for k, t in tparams.items():
+        np.testing.assert_allclose(
+            np.asarray(getattr(params, k)), t.detach().numpy(),
+            rtol=2e-4, atol=2e-6, err_msg=k,
+        )
+
+
+def _small_scene(n=32, cap=64):
+    xyz = RNG.normal(size=(n, 3)).astype(np.float32)
+    rgb = RNG.uniform(size=(n, 3)).astype(np.float32)
+    return from_points(xyz, rgb, capacity=cap, sh_degree=1)
+
+
+def test_densify_clone_and_prune():
+    scene = _small_scene()
+    n0 = int(scene.n_alive())
+    adam = init_adam(scene.params)
+    # poke moments so surgery effects are observable
+    adam = dataclasses.replace(
+        adam, mu=jax.tree.map(lambda x: x + 1.0, adam.mu)
+    )
+    cfg = DensifyConfig(densify_grad_threshold=0.1)
+
+    # mark the first 4 splats as high-gradient & small -> clone
+    grad = np.zeros(scene.capacity, np.float32)
+    grad[:4] = 1.0
+    scene = dataclasses.replace(
+        scene,
+        grad_accum=jnp.asarray(grad),
+        grad_count=jnp.asarray((grad > 0).astype(np.float32)),
+    )
+    # kill splats 10..14 via opacity
+    new_op = np.array(scene.params.opacity)
+    new_op[10:15] = -12.0
+    scene = dataclasses.replace(
+        scene,
+        params=dataclasses.replace(scene.params, opacity=jnp.asarray(new_op)),
+    )
+
+    key = jax.random.PRNGKey(0)
+    out, adam2, stats = densify_and_prune(
+        scene, adam, key, cfg, spatial_scale=10000.0, apply_screensize=False
+    )
+    assert int(stats["n_cloned"]) == 4
+    assert int(stats["n_split"]) == 0
+    assert int(stats["n_pruned"]) == 5
+    assert int(stats["n_alive"]) == n0 - 5 + 4
+    # clones landed in freed slots with zeroed moments
+    alive = np.asarray(out.alive)
+    new_slots = [i for i in range(out.capacity) if alive[i] and (
+        i >= n0 or 10 <= i < 15)]
+    assert len(new_slots) == 4
+    for i in new_slots:
+        assert np.all(np.asarray(adam2.mu.xyz)[i] == 0)
+    # survivors keep moments
+    assert np.all(np.asarray(adam2.mu.xyz)[0] == 1.0)
+    # cloned values equal their parents'
+    parents = np.asarray(scene.params.xyz)[:4]
+    children = np.asarray(out.params.xyz)[new_slots]
+    np.testing.assert_allclose(np.sort(children, 0), np.sort(parents, 0), rtol=1e-6)
+    # stats reset
+    assert float(jnp.sum(out.grad_accum)) == 0.0
+
+
+def test_densify_split_shrinks_and_moves():
+    scene = _small_scene()
+    adam = init_adam(scene.params)
+    cfg = DensifyConfig(densify_grad_threshold=0.1, clone_size_threshold=0.01)
+    grad = np.zeros(scene.capacity, np.float32)
+    grad[:3] = 1.0
+    scene = dataclasses.replace(
+        scene,
+        grad_accum=jnp.asarray(grad),
+        grad_count=jnp.asarray((grad > 0).astype(np.float32)),
+    )
+    old_scales = np.asarray(scene.get_scales())[:3]
+    old_xyz = np.asarray(scene.params.xyz)[:3]
+    out, _, stats = densify_and_prune(
+        scene, adam, jax.random.PRNGKey(1), cfg,
+        spatial_scale=1e-6,  # everything counts as "large" -> split
+        apply_screensize=False,
+    )
+    assert int(stats["n_split"]) == 3
+    # parent scales shrunk by 1.6, positions moved
+    np.testing.assert_allclose(
+        np.asarray(out.get_scales())[:3], old_scales / 1.6, rtol=1e-5
+    )
+    assert np.abs(np.asarray(out.params.xyz)[:3] - old_xyz).max() > 0
+    # both children identical (reference clones the modified parent)
+    alive = np.asarray(out.alive)
+    n0 = int(scene.n_alive())
+    child_slots = [i for i in range(out.capacity) if alive[i] and i >= n0]
+    assert len(child_slots) == 3
+    parent_xyz = np.sort(np.asarray(out.params.xyz)[:3], axis=0)
+    child_xyz = np.sort(np.asarray(out.params.xyz)[child_slots], axis=0)
+    np.testing.assert_allclose(child_xyz, parent_xyz, rtol=1e-6)
+
+
+def test_densify_capacity_overflow_drops_children():
+    scene = _small_scene(n=60, cap=64)
+    adam = init_adam(scene.params)
+    cfg = DensifyConfig(densify_grad_threshold=0.0)
+    scene = dataclasses.replace(
+        scene,
+        grad_accum=jnp.ones(scene.capacity),
+        grad_count=jnp.ones(scene.capacity),
+    )
+    out, _, stats = densify_and_prune(
+        scene, adam, jax.random.PRNGKey(2), cfg, 10000.0, False
+    )
+    assert int(stats["n_dropped_children"]) == 60 - 4
+    assert int(stats["n_alive"]) == 64
+
+
+def _synthetic_views(n_views=6, w=64, h=48):
+    """Ground-truth splats rendered from a ring of cameras via the renderer
+    itself — self-consistent supervision for the end-to-end loop."""
+    from gaussian_splatting_lightning_tpu.data.dataset import ViewItem
+
+    n_gt = 40
+    xyz = RNG.normal(size=(n_gt, 3)).astype(np.float32) * 0.8
+    rgb = RNG.uniform(0.2, 0.9, size=(n_gt, 3)).astype(np.float32)
+    gt = from_points(xyz, rgb, capacity=n_gt, sh_degree=1)
+    # make them chunky & opaque
+    gt = dataclasses.replace(
+        gt,
+        params=dataclasses.replace(
+            gt.params,
+            scales=jnp.full_like(gt.params.scales, np.log(0.12)),
+            opacity=jnp.full_like(gt.params.opacity, 2.0),
+        ),
+    )
+    views = []
+    fx = fy = 60.0
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        # camera on a ring of radius 4 looking at the origin
+        fwd = -np.array([np.cos(ang), 0.2, np.sin(ang)])
+        fwd /= np.linalg.norm(fwd)
+        pos = -4.0 * fwd
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd], 0)  # world->cam rows
+        t = -R @ pos
+        cam = make_camera(np.concatenate([R, t[:, None]], 1), fx, fy, w, h)
+        out, _ = render_scene(gt, cam, w, h, jnp.zeros(3),
+                              TilingConfig(max_pairs=1 << 14, tile_capacity=128, chunk=32))
+        views.append(
+            ViewItem(
+                image=np.asarray(out.image),
+                viewmatrix=np.asarray(cam.viewmatrix),
+                projmatrix=np.asarray(cam.projmatrix),
+                campos=np.asarray(cam.campos),
+                tanfovx=float(cam.tanfovx),
+                tanfovy=float(cam.tanfovy),
+                background=np.zeros(3, np.float32),
+            )
+        )
+    return gt, views
+
+
+def test_end_to_end_training_improves():
+    gt, views = _synthetic_views()
+    # init from jittered GT points
+    xyz0 = np.asarray(gt.params.xyz) + RNG.normal(size=(40, 3)).astype(np.float32) * 0.05
+    rgb0 = np.full((40, 3), 0.5, np.float32)
+    scene = from_points(xyz0, rgb0, capacity=128, sh_degree=1)
+
+    cfg = TrainConfig(
+        num_iters=120,
+        capacity=128,
+        log_interval=20,
+        valid_interval=10_000,
+        checkpoint_interval=10_000,
+        tiling=TilingConfig(max_pairs=1 << 14, tile_capacity=128, chunk=32),
+        densify=DensifyConfig(
+            densify_since=20, densify_interval=40, densify_until=100,
+            opacity_reset_interval=10_000, sh_degree_step_interval=50,
+        ),
+        optimizer=OptimizerConfig(xyz_lr_max_steps=120),
+    )
+    trainer = Trainer(
+        cfg, scene, spatial_scale=4.0, train_views=views,
+        valid_views=views[:1], log_fn=lambda *a: None,
+    )
+    trainer.train()
+    first = trainer.history[0]
+    last = trainer.history[-1]
+    assert last["loss"] < first["loss"] * 0.7
+    assert last["psnr"] > first["psnr"] + 2.0
+    # SH degree warmed up on cadence (steps 50 and 100 -> capped at max 1)
+    assert int(trainer.scene.active_sh_degree) == 1
+    metrics = trainer.validate()
+    assert metrics["valid_psnr"] > first["psnr"]
