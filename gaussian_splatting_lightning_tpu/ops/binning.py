@@ -54,11 +54,22 @@ def build_tile_bins(
     grid_x: int,
     grid_y: int,
     max_pairs: int,
+    tile_y_offset=0,
+    grid_y_local: int | None = None,
 ) -> TileBins:
+    """``tile_y_offset``/``grid_y_local`` restrict binning to a horizontal
+    band of tile rows — the unit of multi-chip tile sharding (each device
+    bins+composites only its band; see parallel/shard.py). The offset may be
+    a traced scalar (lax.axis_index under shard_map); the band height is
+    static. Tile ids are *local* to the band."""
     n = prep.depth.shape[0]
-    n_tiles = grid_x * grid_y
+    if grid_y_local is None:
+        grid_y_local = grid_y
+    n_tiles = grid_x * grid_y_local
 
-    x0, y0, x1, y1 = tf.tile_rect(prep.p_pix, prep.radius, grid_x, grid_y)
+    x0, y0g, x1, y1g = tf.tile_rect(prep.p_pix, prep.radius, grid_x, grid_y)
+    y0 = jnp.clip(y0g - tile_y_offset, 0, grid_y_local)
+    y1 = jnp.clip(y1g - tile_y_offset, 0, grid_y_local)
     nx = jnp.maximum(x1 - x0, 0)
     ny = jnp.maximum(y1 - y0, 0)
     ntiles = jnp.where(prep.visible, nx * ny, 0).astype(jnp.int32)

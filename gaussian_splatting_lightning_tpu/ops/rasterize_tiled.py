@@ -53,6 +53,7 @@ def composite_tiles_tabled(
     grid_y: int,
     background: jnp.ndarray,
     chunk: int,
+    tile_y_offset=0,
 ):
     n_tiles, capacity = table.shape
     p = BLOCK_X * BLOCK_Y
@@ -62,9 +63,10 @@ def composite_tiles_tabled(
     gidx = jnp.where(table >= 0, pair_gaussian[jnp.clip(table, 0)], 0)
     slot_valid = table >= 0
 
-    # Pixel centers per tile, (T, P, 2).
+    # Pixel centers per tile, (T, P, 2). ``tile_y_offset`` shifts the band
+    # into global pixel coordinates for tile-sharded rendering.
     tx = jnp.arange(grid_x, dtype=dtype) * BLOCK_X
-    ty = jnp.arange(grid_y, dtype=dtype) * BLOCK_Y
+    ty = (jnp.arange(grid_y, dtype=dtype) + tile_y_offset) * BLOCK_Y
     origin = jnp.stack(
         [jnp.tile(tx, grid_y), jnp.repeat(ty, grid_x)], axis=-1
     )  # (T, 2)
@@ -149,27 +151,40 @@ def rasterize_tiled(
     antialias: bool = False,
     alive: Optional[jnp.ndarray] = None,
     means2d_ndc_offset: Optional[jnp.ndarray] = None,
+    tile_y_offset=0,
+    grid_y_local: Optional[int] = None,
 ):
     """Returns (RenderOutput, stats dict). Same semantics as
-    rasterize_reference with reference_quirks=False (CUDA visibility rules)."""
+    rasterize_reference with reference_quirks=False (CUDA visibility rules).
+
+    ``tile_y_offset`` (traced ok) + ``grid_y_local`` (static) render only a
+    band of tile rows — the tile-sharding unit. The returned image then has
+    height ``grid_y_local * 16`` (clipped to the band's extent within the
+    full image).
+    """
     prep = preprocess(
         means3d, opacities, scales, quats, sh, camera, width, height,
         sh_degree, max_sh_degree, scale_modifier, antialias, alive,
         means2d_ndc_offset,
     )
     grid_x, grid_y = binning.grid_shape(width, height)
-    n_tiles = grid_x * grid_y
+    banded = grid_y_local is not None
+    gy = grid_y_local if banded else grid_y
+    n_tiles = grid_x * gy
 
-    bins = binning.build_tile_bins(prep, grid_x, grid_y, config.max_pairs)
+    bins = binning.build_tile_bins(
+        prep, grid_x, grid_y, config.max_pairs, tile_y_offset, gy
+    )
     table = binning.build_tile_table(bins, n_tiles, config.tile_capacity)
     max_tile_count = jnp.max(bins.tile_count)
 
     color, invd = composite_tiles_tabled(
-        prep, table, bins.pair_gaussian, grid_x, grid_y, background,
-        config.chunk,
+        prep, table, bins.pair_gaussian, grid_x, gy, background,
+        config.chunk, tile_y_offset,
     )
-    image = _assemble(color, grid_x, grid_y, width, height, 3)
-    depth = _assemble(invd, grid_x, grid_y, width, height)
+    out_h = gy * BLOCK_Y if banded else height
+    image = _assemble(color, grid_x, gy, width, out_h, 3)
+    depth = _assemble(invd, grid_x, gy, width, out_h)
     out = RenderOutput(
         image=jnp.moveaxis(image, -1, 0), radii=prep.radius, depth=depth[None]
     )

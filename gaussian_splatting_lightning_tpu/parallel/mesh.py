@@ -1,0 +1,62 @@
+"""Device mesh construction + multi-host initialization.
+
+The reference has no distributed layer at all (SURVEY §2.3): single process,
+batch 1, parallelism only inside the CUDA kernel. The TPU-native scale-out
+design is spatial: a 2D logical mesh
+
+    ("view", "tile")
+
+- ``view``: data parallel over training views (each device group renders a
+  different camera). Maps across hosts/DCN first — views are independent, so
+  only the gradient all-reduce crosses hosts.
+- ``tile``: spatial parallel over image tile rows within one view (each chip
+  composites a horizontal band). Kept within a host/ICI ring, where the
+  all-gather of rendered bands and the gradient reduce are cheap.
+
+Gaussians are replicated across the mesh; gradients are combined with a
+single ``psum`` over both axes (XLA schedules it on ICI before DCN given the
+axis order below).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Multi-host bring-up (jax.distributed). No-op when single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(
+    view: int = 1,
+    tile: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build the ("view", "tile") mesh. ``tile`` defaults to filling all
+    devices. Device order: tile axis varies fastest so each view group's tile
+    ring stays on adjacent (ICI-linked) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if tile is None:
+        if len(devices) % view:
+            raise ValueError(f"{len(devices)} devices not divisible by view={view}")
+        tile = len(devices) // view
+    n = view * tile
+    if n > len(devices):
+        raise ValueError(f"mesh {view}x{tile} needs {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(view, tile)
+    return Mesh(grid, axis_names=("view", "tile"))
