@@ -1,0 +1,125 @@
+"""Pallas compositing kernels vs the jnp oracle — interpret mode on CPU.
+
+The same kernels compile for real TPU (exercised by bench.py); interpret mode
+validates the kernel math, DMA staging, masking, and the custom-VJP analytic
+backward (SURVEY hard part #1: gradients the reference never implemented)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splatting_lightning_tpu.core.camera import camera_from_matrices
+from gaussian_splatting_lightning_tpu.ops import rasterize_reference
+from gaussian_splatting_lightning_tpu.ops.rasterize_pallas import rasterize_pallas
+from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import TilingConfig
+from tests.ref_oracle import load_treehill_fixtures
+
+RNG = np.random.default_rng(31)
+CFG = TilingConfig(max_pairs=1 << 14, tile_capacity=512, chunk=64)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    settings, _, common = load_treehill_fixtures()
+    s = settings[0]
+    cam = camera_from_matrices(
+        s["viewmatrix"], s["projmatrix"], s["campos"],
+        common["tanfovx"], common["tanfovy"],
+    )
+    return s, cam
+
+
+def _scene(n, s):
+    means = RNG.normal(size=(n, 3)).astype(np.float32) * 2
+    fwd = s["viewmatrix"][:3, 2]
+    means = (s["campos"][None, :] + fwd[None, :] * 4.0 + means).astype(np.float32)
+    opac = RNG.uniform(0.2, 0.95, size=(n, 1)).astype(np.float32)
+    scales = RNG.uniform(0.02, 0.3, size=(n, 3)).astype(np.float32)
+    quats = RNG.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    sh = (RNG.normal(size=(n, 16, 3)) * 0.3).astype(np.float32)
+    return means, opac, scales, quats, sh
+
+
+def test_pallas_forward_matches_oracle(setup):
+    s, cam = setup
+    n, w, h = 300, 96, 64
+    means, opac, scales, quats, sh = _scene(n, s)
+    bg = np.array([0.1, 0.2, 0.3], np.float32)
+    args = (
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales),
+        jnp.asarray(quats), jnp.asarray(sh), cam, w, h, jnp.asarray(bg), 3,
+    )
+    oracle = rasterize_reference(*args)
+    out, stats = rasterize_pallas(
+        *args, config=CFG, interpret=True, early_stop=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.image), np.asarray(oracle.image), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(oracle.depth), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.radii), np.asarray(oracle.radii)
+    )
+    assert int(stats["num_dropped_pairs"]) == 0
+
+
+def test_pallas_early_stop_error_is_bounded(setup):
+    s, cam = setup
+    n, w, h = 300, 96, 64
+    means, opac, scales, quats, sh = _scene(n, s)
+    args = (
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales),
+        jnp.asarray(quats), jnp.asarray(sh), cam, w, h, jnp.zeros(3), 3,
+    )
+    exact, _ = rasterize_pallas(*args, config=CFG, interpret=True, early_stop=False)
+    fast, _ = rasterize_pallas(*args, config=CFG, interpret=True, early_stop=True)
+    # skipping chunks once every pixel's transmittance < 1e-4 can only
+    # perturb the (T_fin * background) term
+    assert np.abs(np.asarray(fast.image) - np.asarray(exact.image)).max() < 2e-4
+
+
+def test_pallas_backward_matches_oracle_ad(setup):
+    s, cam = setup
+    n, w, h = 200, 64, 48
+    means, opac, scales, quats, sh = _scene(n, s)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    target = jnp.linspace(0, 1, 3 * h * w).reshape(3, h, w)
+    offset = jnp.zeros((n, 2))
+
+    def loss_oracle(*p):
+        out = rasterize_reference(
+            p[0], p[1], p[2], p[3], p[4], cam, w, h, bg, 3,
+            means2d_ndc_offset=p[5],
+        )
+        return jnp.abs(out.image - target).mean() + 0.1 * out.depth.mean()
+
+    def loss_pallas(*p):
+        out, _ = rasterize_pallas(
+            p[0], p[1], p[2], p[3], p[4], cam, w, h, bg, 3, config=CFG,
+            means2d_ndc_offset=p[5], interpret=True, early_stop=False,
+        )
+        return jnp.abs(out.image - target).mean() + 0.1 * out.depth.mean()
+
+    args = (
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales),
+        jnp.asarray(quats), jnp.asarray(sh), offset,
+    )
+    assert float(loss_pallas(*args)) == pytest.approx(
+        float(loss_oracle(*args)), abs=1e-6
+    )
+    go = jax.grad(loss_oracle, argnums=tuple(range(6)))(*args)
+    gp = jax.grad(loss_pallas, argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(
+        ["means", "opacity", "scales", "quats", "sh", "offset"], go, gp
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=5e-6, err_msg=name
+        )
+    assert np.abs(np.asarray(gp[5])).sum() > 0
