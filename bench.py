@@ -4,45 +4,39 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (the driver
 contract). The reference publishes no numbers (BASELINE.md), so vs_baseline
 is null; the absolute number is tracked round over round.
 
-Scene: synthetic 100k-splat cloud (garden-scale splat count at mid training),
-1080p render, SH degree 3, full fwd + backward through L1+SSIM — the
-BASELINE.json "rays/s/chip (fwd+bwd) at 1080p" metric on one chip.
+Scene: synthetic 100k-splat cloud, 1080p render, SH degree 3, full forward +
+backward through the L1+SSIM loss — the BASELINE.json "rays/s/chip (fwd+bwd)
+at 1080p" metric on one chip, using the Pallas compositing kernels.
 """
 
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
 
 
-def main():
+def run(w, h, n, iters=10, warmup=2):
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
-    from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import (
-        TilingConfig,
-        rasterize_tiled,
+    from gaussian_splatting_lightning_tpu.ops.rasterize_pallas import (
+        rasterize_pallas,
     )
+    from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import TilingConfig
     from gaussian_splatting_lightning_tpu.training.loss import photometric_loss
 
-    dev = jax.devices()[0]
-    platform = dev.platform
-
-    w, h = 1920, 1080
-    n = 100_000
     scene = ge._synthetic_scene(n, n)
     cam = ge._camera(w, h)
-    cfg = TilingConfig(max_pairs=1 << 21, tile_capacity=512, chunk=32)
+    cfg = TilingConfig(max_pairs=1 << 21)
     target = jnp.asarray(
         np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32)
     )
 
     def loss_fn(xyz, opacity, scales, quats, sh):
-        out, _ = rasterize_tiled(
+        out, _ = rasterize_pallas(
             xyz, opacity, scales, quats, sh, cam, w, h,
             jnp.zeros(3, xyz.dtype), 3, config=cfg,
         )
@@ -55,20 +49,30 @@ def main():
         scene.get_rotation(), scene.get_features(),
     )
 
-    # compile + warmup
     t0 = time.perf_counter()
     g = step(*args)
     jax.block_until_ready(g)
     compile_s = time.perf_counter() - t0
 
-    iters = 10
+    for _ in range(warmup):
+        g = step(*args)
+    jax.block_until_ready(g)
+
     t0 = time.perf_counter()
     for _ in range(iters):
         g = step(*args)
     jax.block_until_ready(g)
     elapsed = time.perf_counter() - t0
+    return elapsed / iters, compile_s
 
-    rays_per_s = w * h * iters / elapsed
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    w, h, n = 1920, 1080, 100_000
+    step_s, compile_s = run(w, h, n)
+    rays_per_s = w * h / step_s
     result = {
         "metric": "rays/s/chip fwd+bwd, 1080p, 100k splats, SH3",
         "value": round(rays_per_s, 1),
@@ -76,9 +80,9 @@ def main():
         "vs_baseline": None,
         "extra": {
             "platform": platform,
-            "step_ms": round(1e3 * elapsed / iters, 2),
+            "step_ms": round(1e3 * step_s, 2),
             "compile_s": round(compile_s, 1),
-            "impl": "xla-tiled",
+            "impl": "pallas",
         },
     }
     print(json.dumps(result))

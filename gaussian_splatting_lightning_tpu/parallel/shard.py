@@ -102,7 +102,12 @@ def make_sharded_train_step(
     B = mesh 'view' size x local batch, sharded over 'view'; scene and Adam
     state are replicated and returned replicated.
     """
+    from gaussian_splatting_lightning_tpu.training.trainer import (
+        resolve_rasterizer,
+    )
+
     schedules = make_lr_schedules(cfg.optimizer, spatial_scale)
+    rasterize_fn = resolve_rasterizer(getattr(cfg, "rasterizer", "auto"))
     n_tile = mesh.shape["tile"]
     n_view = mesh.shape["view"]
     _, gy_local = _band_geometry(height, n_tile)
@@ -120,7 +125,7 @@ def make_sharded_train_step(
             live = dataclasses.replace(scene, params=params)
 
             def render_one(cam, bg, offset):
-                out, stats = rasterize_tiled(
+                out, stats = rasterize_fn(
                     live.params.xyz, live.get_opacity(), live.get_scales(),
                     live.get_rotation(), live.get_features(), cam, width,
                     height, bg, live.active_sh_degree, config=cfg.tiling,

@@ -67,9 +67,24 @@ class TrainConfig:
     seed: int = 42
     capacity: int = 1 << 20
     antialias: bool = False
+    rasterizer: str = "auto"  # auto | pallas | xla (auto: pallas on TPU)
     densify: DensifyConfig = DensifyConfig()
     optimizer: OptimizerConfig = OptimizerConfig()
     tiling: TilingConfig = TilingConfig()
+
+
+def resolve_rasterizer(name: str):
+    """Pick the compositing implementation: Pallas kernels on TPU, the pure
+    XLA path elsewhere (CPU tests, debugging)."""
+    if name == "auto":
+        name = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if name == "pallas":
+        from gaussian_splatting_lightning_tpu.ops.rasterize_pallas import (
+            rasterize_pallas,
+        )
+
+        return rasterize_pallas
+    return rasterize_tiled
 
 
 def render_scene(
@@ -81,10 +96,12 @@ def render_scene(
     tiling: TilingConfig = TilingConfig(),
     antialias: bool = False,
     means2d_ndc_offset=None,
+    rasterize_fn=None,
 ):
     """Render with live activations — the reference's ``render`` wrapper
     (gs_lightning_module.py:301-350) minus the settings-object ceremony."""
-    return rasterize_tiled(
+    rasterize_fn = rasterize_fn or rasterize_tiled
+    return rasterize_fn(
         scene.params.xyz,
         scene.get_opacity(),
         scene.get_scales(),
@@ -108,6 +125,7 @@ def make_train_step(
 ):
     """Build the jitted train step for a fixed image size."""
     schedules = make_lr_schedules(cfg.optimizer, spatial_scale)
+    rasterize_fn = resolve_rasterizer(cfg.rasterizer)
 
     def train_step(scene: gm.GaussianScene, adam: AdamState, step, camera: Camera,
                    image: jnp.ndarray, background: jnp.ndarray):
@@ -118,6 +136,7 @@ def make_train_step(
             out, stats = render_scene(
                 live, camera, width, height, background,
                 cfg.tiling, cfg.antialias, means2d_ndc_offset=offset,
+                rasterize_fn=rasterize_fn,
             )
             loss, logs = photometric_loss(out.image, image, cfg.w_ssim)
             return loss, (out.radii, logs, stats)
@@ -144,9 +163,12 @@ def make_train_step(
 
 
 def make_eval_step(cfg: TrainConfig, width: int, height: int):
+    rasterize_fn = resolve_rasterizer(cfg.rasterizer)
+
     def eval_step(scene, camera, image, background):
         out, _ = render_scene(
-            scene, camera, width, height, background, cfg.tiling, cfg.antialias
+            scene, camera, width, height, background, cfg.tiling, cfg.antialias,
+            rasterize_fn=rasterize_fn,
         )
         _, logs = photometric_loss(out.image, image, cfg.w_ssim)
         return out.image, out.depth, logs

@@ -1,0 +1,105 @@
+"""Training entry point.
+
+Capability parity with the reference's ``scripts/train.py`` (argparse config
++ seed, full training run, artifact/metric logging, PLY checkpoints) on the
+TPU-native stack: YAML dataclass config, jitted train loop, orbax resume.
+
+Usage:
+    python -m scripts.train -c configs/train_gs.yaml [--seed 42]
+        [--iters N] [--out-dir runs/exp] [--resume CKPT_DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--out-dir", type=str, default=None)
+    parser.add_argument("--resume", type=str, default=None)
+    args = parser.parse_args()
+
+    from gaussian_splatting_lightning_tpu.data import (
+        ColmapDataset,
+        get_nerf_norm,
+        read_reconstruction,
+    )
+    from gaussian_splatting_lightning_tpu.models import from_points
+    from gaussian_splatting_lightning_tpu.training.config import load_config
+    from gaussian_splatting_lightning_tpu.training.trainer import Trainer
+
+    cfg = load_config(args.config)
+    if args.seed is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, seed=args.seed)
+        )
+    if args.iters is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, num_iters=args.iters)
+        )
+
+    out_dir = Path(args.out_dir or cfg.out_dir) / cfg.exp_name / (
+        cfg.run_name + time.strftime("-%Y%m%d-%H%M%S")
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "config.json").write_text(
+        json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+    )
+
+    rec = read_reconstruction(cfg.data.colmap_path)
+    norm = get_nerf_norm(rec)
+    print(f"scene radius (spatial scale): {norm['radius']:.3f}")
+
+    d = cfg.data
+    common = dict(
+        colmap_path=d.colmap_path, image_folder=d.image_folder,
+        mask_folder=d.mask_folder, resize_to=d.resize_to,
+        downscale=d.downscale, white_background=d.white_background,
+        z_near=d.z_near, z_far=d.z_far, reconstruction=rec,
+    )
+    if d.train_idx_file:
+        train_ds = ColmapDataset(image_idx=d.train_idx_file, **common)
+        valid_ds = ColmapDataset(image_idx=d.valid_idx_file, **common)
+        train_views = [train_ds[i] for i in range(len(train_ds))]
+        valid_views = [valid_ds[i] for i in range(len(valid_ds))]
+    else:
+        ds = ColmapDataset(**common)
+        views = [ds[i] for i in range(len(ds))]
+        k = d.holdout_every or 8
+        valid_views = views[::k]
+        train_views = [v for i, v in enumerate(views) if i % k]
+
+    scene = from_points(
+        rec.points_xyz, rec.points_rgb, capacity=cfg.capacity,
+        sh_degree=cfg.sh_degree,
+    )
+    print(
+        f"init: {len(rec.points_xyz)} points, capacity {cfg.capacity}, "
+        f"{len(train_views)} train / {len(valid_views)} valid views"
+    )
+
+    trainer = Trainer(
+        cfg.train, scene, norm["radius"], train_views, valid_views,
+        out_dir=out_dir,
+    )
+    if args.resume:
+        trainer.restore_checkpoint(args.resume)
+        print(f"resumed from {args.resume} at step {trainer.step}")
+    trainer.train()
+    trainer.validate()
+    from gaussian_splatting_lightning_tpu.models import save_ply
+
+    save_ply(trainer.scene, out_dir / "point_cloud-final.ply")
+    print(f"done; artifacts in {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
