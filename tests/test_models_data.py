@@ -233,3 +233,17 @@ def test_dataset_builds_items(tmp_path):
     draws = [sampler.next_index() for _ in range(6)]
     for i in range(0, 6, 2):
         assert sorted(draws[i : i + 2]) == [0, 1]
+
+
+def test_native_knn_matches_kdtree():
+    from gaussian_splatting_lightning_tpu.ops.knn import _load_native
+
+    if _load_native() is None:
+        pytest.skip("native KNN lib unavailable (no toolchain)")
+    from scipy.spatial import KDTree
+
+    pts = RNG.normal(size=(5000, 3)).astype(np.float32)
+    native = mean_knn_sq_dist(pts)
+    d, _ = KDTree(pts).query(pts, k=4, workers=-1)
+    ref = (d[:, 1:] ** 2).mean(1)
+    np.testing.assert_allclose(native, ref, rtol=1e-5, atol=1e-9)
