@@ -152,7 +152,15 @@ def _fwd_kernel(
             alive = jnp.logical_and(alive, tmax > TRANSMITTANCE_EPS)
         return alive
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.asarray(1.0, dtype)))
+    final_ci, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.asarray(1.0, dtype))
+    )
+    if early_stop:
+        # Early exit leaves the prefetched DMA for chunk final_ci in flight;
+        # drain it or the dangling semaphore corrupts the next grid step.
+        @pl.when(final_ci < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(final_ci, 2), final_ci).wait()
 
     color = acc[:, 0:3] + tcar[...] * bg_ref[0:1, 0:3]  # bg composited in
     out_ref[0] = jnp.concatenate(
