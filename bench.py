@@ -19,6 +19,10 @@ import numpy as np
 
 def run(w, h, n, iters=10, warmup=2):
     import jax
+
+    from gaussian_splatting_lightning_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
     import jax.numpy as jnp
 
     import __graft_entry__ as ge

@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--resume", type=str, default=None)
     args = parser.parse_args()
 
+    from gaussian_splatting_lightning_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
     from gaussian_splatting_lightning_tpu.data import (
         ColmapDataset,
         get_nerf_norm,
