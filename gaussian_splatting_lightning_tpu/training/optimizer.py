@@ -94,9 +94,16 @@ def adam_update(
     schedules: Dict[str, Callable],
     cfg: OptimizerConfig,
     step,
+    visible=None,
 ):
     """One Adam step. ``step`` is the global training step (drives the lr
-    schedule exactly like the reference's per-step scheduler.step cadence)."""
+    schedule exactly like the reference's per-step scheduler.step cadence).
+
+    ``visible`` (C,) bool enables sparse-Adam semantics: rows not rendered
+    this step keep params AND moments untouched — the CUDA
+    ``SparseGaussianAdam`` the reference lists as a TODO (README.md:42,
+    third_party/.../gaussian_model.py:26-28,192-199).
+    """
     b1, b2 = cfg.beta1, cfg.beta2
     count = state.count + 1
     t = count.astype(jnp.float32)
@@ -111,13 +118,19 @@ def adam_update(
         g = getattr(grads, name)
         m = getattr(state.mu, name)
         v = getattr(state.nu, name)
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * g * g
+        m_new = b1 * m + (1.0 - b1) * g
+        v_new = b2 * v + (1.0 - b2) * g * g
         lr = schedules[name](step)
-        update = (m / bc1) / (jnp.sqrt(v / bc2) + cfg.eps)
-        new_params[name] = p - lr * update
-        new_mu[name] = m
-        new_nu[name] = v
+        update = (m_new / bc1) / (jnp.sqrt(v_new / bc2) + cfg.eps)
+        p_new = p - lr * update
+        if visible is not None:
+            vis = visible.reshape((-1,) + (1,) * (p.ndim - 1))
+            p_new = jnp.where(vis, p_new, p)
+            m_new = jnp.where(vis, m_new, m)
+            v_new = jnp.where(vis, v_new, v)
+        new_params[name] = p_new
+        new_mu[name] = m_new
+        new_nu[name] = v_new
 
     return (
         GaussianParams(**new_params),

@@ -67,6 +67,7 @@ class TrainConfig:
     seed: int = 42
     capacity: int = 1 << 20
     antialias: bool = False
+    sparse_adam: bool = False  # update only splats visible this step (N4)
     rasterizer: str = "auto"  # auto | pallas | xla (auto: pallas on TPU)
     densify: DensifyConfig = DensifyConfig()
     optimizer: OptimizerConfig = OptimizerConfig()
@@ -147,7 +148,8 @@ def make_train_step(
         param_grads, screen_grads = grads
 
         new_params, adam = adam_update(
-            scene.params, param_grads, adam, schedules, cfg.optimizer, step
+            scene.params, param_grads, adam, schedules, cfg.optimizer, step,
+            visible=(radii > 0) if cfg.sparse_adam else None,
         )
         scene = dataclasses.replace(scene, params=new_params)
         # densification signal for the *next* batch start

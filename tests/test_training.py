@@ -309,3 +309,28 @@ def test_end_to_end_training_improves():
     assert int(trainer.scene.active_sh_degree) == 1
     metrics = trainer.validate()
     assert metrics["valid_psnr"] > first["psnr"]
+
+
+def test_sparse_adam_skips_invisible_rows():
+    from gaussian_splatting_lightning_tpu.models.gaussians import GaussianParams
+
+    n = 8
+    params = GaussianParams(
+        xyz=jnp.ones((n, 3)), features_dc=jnp.ones((n, 1, 3)),
+        features_rest=jnp.ones((n, 3, 3)), opacity=jnp.ones((n, 1)),
+        scales=jnp.ones((n, 3)), quats=jnp.ones((n, 4)),
+    )
+    grads = jax.tree.map(jnp.ones_like, params)
+    cfg = OptimizerConfig()
+    schedules = make_lr_schedules(cfg, 1.0)
+    state = init_adam(params)
+    visible = jnp.asarray([True] * 4 + [False] * 4)
+    new_params, new_state = adam_update(
+        params, grads, state, schedules, cfg, 0, visible=visible
+    )
+    # invisible rows fully untouched (params and moments)
+    np.testing.assert_array_equal(np.asarray(new_params.xyz)[4:], 1.0)
+    np.testing.assert_array_equal(np.asarray(new_state.mu.xyz)[4:], 0.0)
+    # visible rows moved
+    assert np.abs(np.asarray(new_params.xyz)[:4] - 1.0).min() > 0
+    assert np.abs(np.asarray(new_state.mu.xyz)[:4]).min() > 0
