@@ -105,8 +105,15 @@ def build_tile_bins(
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     g_s = jnp.clip(owner_of_slot(offsets, max_pairs), 0, n - 1)
     local = slot - offsets[g_s]
-    tile_x = x0_s[g_s] + local % nx_s[g_s]
-    tile_y = y0[order][g_s] + local // nx_s[g_s]
+    # Integer div/mod by a *variable* divisor lowers to a slow expansion on
+    # the VPU; with 0 <= local < nx*ny and r < nx, (local + 0.5)/nx lies
+    # strictly inside (q, q+1), so float floor-division is exact.
+    nx_f = nx_s[g_s].astype(prep.p_pix.dtype)
+    row = jnp.floor(
+        (local.astype(prep.p_pix.dtype) + 0.5) / nx_f
+    ).astype(jnp.int32)
+    tile_x = x0_s[g_s] + local - row * nx_s[g_s]
+    tile_y = y0[order][g_s] + row
     valid = slot < jnp.minimum(total, max_pairs)
     tile_id = jnp.where(
         valid, tile_y * grid_x + tile_x, n_tiles

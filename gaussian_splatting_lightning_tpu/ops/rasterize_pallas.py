@@ -405,16 +405,23 @@ def build_aligned_pairs(prep, bins, n_tiles: int, m_pad: int):
     padded = ((cnt + CHUNK - 1) // CHUNK) * CHUNK
     pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
 
-    slot = jnp.arange(m_pad, dtype=jnp.int32)
-    t_of = jnp.clip(
-        binning_mod.owner_of_slot(pad_start, m_pad), 0, n_tiles - 1
+    # Scatter each tile-sorted pair into its chunk-aligned slot: a pair at
+    # sorted position p with tile t sits r = p - tile_start[t] deep in its
+    # tile, so its aligned slot is pad_start[t] + r. One scatter replaces the
+    # slot-side owner search + gathers.
+    m = bins.pair_gaussian.shape[0]
+    p_idx = jnp.arange(m, dtype=jnp.int32)
+    t_clip = jnp.clip(bins.pair_tile, 0, n_tiles - 1)
+    dst = pad_start[t_clip] + (p_idx - bins.tile_start[t_clip])
+    dst = jnp.where(bins.pair_valid, dst, m_pad)  # invalid -> dropped
+    gidx = (
+        jnp.full(m_pad, -1, jnp.int32)
+        .at[dst]
+        .set(bins.pair_gaussian, mode="drop")
     )
-    local = slot - pad_start[t_of]
-    valid = local < cnt[t_of]
-    src = jnp.clip(
-        bins.tile_start[t_of] + local, 0, bins.pair_gaussian.shape[0] - 1
+    valid = (
+        jnp.zeros(m_pad, bool).at[dst].set(True, mode="drop")
     )
-    gidx = jnp.where(valid, bins.pair_gaussian[src], -1)
 
     g = jnp.clip(gidx, 0)
     vm = valid.astype(prep.p_pix.dtype)[:, None]
