@@ -309,13 +309,31 @@ class Trainer:
             self.step += 1
         return self.scene
 
+    def _save_triptych(self, view, image, depth, name):
+        """[GT | render | depth] artifact, the reference's get_visuals
+        (gs_lightning_module.py:352-363)."""
+        import imageio.v2 as imageio
+
+        image = np.clip(np.asarray(image), 0, 1)
+        depth = np.asarray(depth)
+        depth = depth / max(float(depth.max()), 1e-8)
+        trip = np.concatenate(
+            [view.image, image, np.repeat(depth, 3, axis=0)], axis=-1
+        )
+        trip = (np.moveaxis(trip, 0, -1) * 255).astype(np.uint8)
+        imageio.imwrite(self.out_dir / name, trip)
+
     def validate(self):
         metrics = []
-        for view in self.valid_views:
-            _, _, logs = self._eval_step(
+        for i, view in enumerate(self.valid_views):
+            image, depth, logs = self._eval_step(
                 self.scene, self._camera_of(view),
                 jnp.asarray(view.image), jnp.asarray(view.background),
             )
+            if self.out_dir and i < 2:  # two sample views, like the reference
+                self._save_triptych(
+                    view, image, depth, f"valid{i}-{self.step:08d}.jpg"
+                )
             metrics.append({k: float(v) for k, v in logs.items()})
         mean = {
             f"valid_{k}": float(np.mean([m[k] for m in metrics]))

@@ -95,8 +95,16 @@ def main():
         out_dir=out_dir,
     )
     if args.resume:
-        trainer.restore_checkpoint(args.resume)
-        print(f"resumed from {args.resume} at step {trainer.step}")
+        resume_path = args.resume
+        if resume_path == "auto":
+            # crash recovery: resume from the newest checkpoint in out_dir's
+            # experiment tree (a capability the reference lacks entirely —
+            # its only artifact is the last validation PLY)
+            ckpts = sorted((out_dir.parent).glob("*/ckpt-*"))
+            resume_path = str(ckpts[-1]) if ckpts else None
+        if resume_path:
+            trainer.restore_checkpoint(resume_path)
+            print(f"resumed from {resume_path} at step {trainer.step}")
     trainer.train()
     trainer.validate()
     from gaussian_splatting_lightning_tpu.models import save_ply
