@@ -144,6 +144,135 @@ def build_tile_bins(
     )
 
 
+def build_aligned_bins(
+    prep: Preprocessed,
+    grid_x: int,
+    grid_y: int,
+    max_pairs: int,
+    m_pad: int,
+    tile_y_offset=0,
+    grid_y_local: int | None = None,
+    sort_block: int = 2048,
+):
+    """Fused binning for the Pallas path: expansion -> *blocked* counting
+    sort -> direct scatter into the chunk-aligned pair layout.
+
+    Replaces the global M-element stable sort (a ~20-pass HBM operation on
+    TPU) with per-block sorts that fit in VMEM plus a (blocks x tiles)
+    histogram prefix — the TPU shape of a radix/counting sort:
+
+      1. expand pairs in depth order into ``max_pairs`` slots (static);
+      2. stable-sort each block of ``sort_block`` pairs by tile key
+         (depth order preserved within blocks; blocks are depth-ordered);
+      3. per-(block, tile) histogram + two small prefix sums give every
+         pair's exact destination: aligned_start[tile] + pairs of the same
+         tile in earlier blocks + rank within (block, tile) — the rank
+         comes from a neighbor-compare/cummax run-start trick, not a scan;
+      4. one scatter lands (gaussian id, valid) straight into the aligned
+         slots consumed by the kernels. No intermediate tile-sorted arrays.
+
+    Returns (gidx (m_pad,), valid (m_pad,), cstart (T,), nchunk (T,),
+    tile_count (T,), num_pairs, num_dropped).
+    """
+    chunk = 128  # kernel chunk alignment (rasterize_pallas.CHUNK)
+    n = prep.depth.shape[0]
+    if grid_y_local is None:
+        grid_y_local = grid_y
+    n_tiles = grid_x * grid_y_local
+
+    x0, y0g, x1, y1g = tf.tile_rect(prep.p_pix, prep.radius, grid_x, grid_y)
+    y0 = jnp.clip(y0g - tile_y_offset, 0, grid_y_local)
+    y1 = jnp.clip(y1g - tile_y_offset, 0, grid_y_local)
+    nx = jnp.maximum(x1 - x0, 0)
+    ny = jnp.maximum(y1 - y0, 0)
+    ntiles = jnp.where(prep.visible, nx * ny, 0).astype(jnp.int32)
+
+    depth_key = jnp.where(prep.visible, prep.depth, jnp.inf)
+    order = jnp.argsort(depth_key)
+    ntiles_s = ntiles[order]
+    x0_s, nx_s = x0[order], jnp.maximum(nx[order], 1)
+    y0_s = y0[order]
+
+    offsets = jnp.cumsum(ntiles_s) - ntiles_s
+    total = offsets[-1] + ntiles_s[-1]
+    g_s = jnp.clip(owner_of_slot(offsets, max_pairs), 0, n - 1)
+    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    local = slot - offsets[g_s]
+    nx_f = nx_s[g_s].astype(prep.p_pix.dtype)
+    row = jnp.floor(
+        (local.astype(prep.p_pix.dtype) + 0.5) / nx_f
+    ).astype(jnp.int32)
+    tile_x = x0_s[g_s] + local - row * nx_s[g_s]
+    tile_y = y0_s[g_s] + row
+    valid0 = slot < jnp.minimum(total, max_pairs)
+    key = jnp.where(
+        valid0, tile_y * grid_x + tile_x, n_tiles
+    ).astype(jnp.int32)
+    gauss = order[g_s].astype(jnp.int32)
+
+    # (2) blocked stable sort by tile key, payload = gaussian id
+    b = max_pairs // sort_block
+    keys_b = key.reshape(b, sort_block)
+    gauss_b = gauss.reshape(b, sort_block)
+    keys_s, gauss_s = jax.lax.sort(
+        (keys_b, gauss_b), dimension=1, num_keys=1, is_stable=True
+    )
+
+    # (3a) rank within (block, tile): distance from the run start
+    idx = jax.lax.broadcasted_iota(jnp.int32, (b, sort_block), 1)
+    is_start = jnp.concatenate(
+        [
+            jnp.ones((b, 1), bool),
+            keys_s[:, 1:] != keys_s[:, :-1],
+        ],
+        axis=1,
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, -1), axis=1)
+    rank = idx - run_start
+
+    # (3b) per-(block, tile) histogram and prefixes
+    flat = keys_s + jax.lax.broadcasted_iota(
+        jnp.int32, (b, sort_block), 0
+    ) * (n_tiles + 1)
+    hist = jax.ops.segment_sum(
+        jnp.ones((b * sort_block,), jnp.int32),
+        flat.reshape(-1),
+        num_segments=b * (n_tiles + 1),
+    ).reshape(b, n_tiles + 1)
+    col_base = jnp.cumsum(hist, axis=0) - hist  # pairs of this tile above
+    tile_count = jnp.sum(hist, axis=0)[:n_tiles]
+
+    padded = ((tile_count + chunk - 1) // chunk) * chunk
+    pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    pad_start_ext = jnp.concatenate(
+        [pad_start, jnp.asarray([m_pad], jnp.int32)]
+    )
+
+    # (4) destination + scatter
+    dst = (
+        pad_start_ext[keys_s]
+        + jnp.take_along_axis(col_base, keys_s, axis=1)
+        + rank
+    )
+    dst = jnp.where(keys_s < n_tiles, dst, m_pad).reshape(-1)
+    gidx = (
+        jnp.full(m_pad, -1, jnp.int32)
+        .at[dst]
+        .set(gauss_s.reshape(-1), mode="drop")
+    )
+    valid = jnp.zeros(m_pad, bool).at[dst].set(True, mode="drop")
+
+    return (
+        gidx,
+        valid,
+        pad_start // chunk,
+        (padded // chunk).astype(jnp.int32),
+        tile_count,
+        total,
+        jnp.maximum(total - max_pairs, 0),
+    )
+
+
 def build_tile_table(bins: TileBins, n_tiles: int, capacity: int) -> jnp.ndarray:
     """(T, K) table of pair indices, -1 padded; entry k is the k-th nearest
     member of the tile. Used by the XLA compositing path (the Pallas path

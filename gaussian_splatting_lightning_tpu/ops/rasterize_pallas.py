@@ -393,54 +393,6 @@ def make_pair_compositor(
 # glue: preprocess/binning -> aligned chunked pair features -> kernel -> image
 # ---------------------------------------------------------------------------
 
-def build_aligned_pairs(prep, bins, n_tiles: int, m_pad: int):
-    """Re-layout tile-sorted pairs into disjoint CHUNK-aligned ranges and the
-    chunked (m_pad/128, NFEAT, 128) feature layout the kernels consume.
-
-    Differentiable: features are a gather from the preprocess outputs, so JAX
-    transposes it into the per-splat segment-sum automatically; the padding
-    mask multiply kills cotangents of slots no kernel writes.
-    """
-    cnt = bins.tile_count
-    padded = ((cnt + CHUNK - 1) // CHUNK) * CHUNK
-    pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-
-    # Scatter each tile-sorted pair into its chunk-aligned slot: a pair at
-    # sorted position p with tile t sits r = p - tile_start[t] deep in its
-    # tile, so its aligned slot is pad_start[t] + r. One scatter replaces the
-    # slot-side owner search + gathers.
-    m = bins.pair_gaussian.shape[0]
-    p_idx = jnp.arange(m, dtype=jnp.int32)
-    t_clip = jnp.clip(bins.pair_tile, 0, n_tiles - 1)
-    dst = pad_start[t_clip] + (p_idx - bins.tile_start[t_clip])
-    dst = jnp.where(bins.pair_valid, dst, m_pad)  # invalid -> dropped
-    gidx = (
-        jnp.full(m_pad, -1, jnp.int32)
-        .at[dst]
-        .set(bins.pair_gaussian, mode="drop")
-    )
-    valid = (
-        jnp.zeros(m_pad, bool).at[dst].set(True, mode="drop")
-    )
-
-    g = jnp.clip(gidx, 0)
-    vm = valid.astype(prep.p_pix.dtype)[:, None]
-    cols = jnp.concatenate(
-        [
-            prep.p_pix[g],  # px py
-            prep.conic[g],  # ca cb cc
-            prep.opacity[g][:, None],
-            prep.rgb[g],  # r g b
-            (1.0 / prep.depth[g])[:, None],
-        ],
-        axis=1,
-    )  # (m_pad, 10)
-    cols = jnp.pad(cols * vm, ((0, 0), (0, NFEAT - 10)))
-    feats = cols.reshape(m_pad // CHUNK, CHUNK, NFEAT).transpose(0, 2, 1)
-    cstart = pad_start // CHUNK
-    return feats, cstart, (padded // CHUNK).astype(jnp.int32), gidx, valid
-
-
 def rasterize_pallas(
     means3d, opacities, scales, quats, sh, camera, width, height,
     background, sh_degree, config=None, max_sh_degree=None,
@@ -471,14 +423,28 @@ def rasterize_pallas(
     gy = grid_y_local if banded else grid_y
     n_tiles = grid_x * gy
 
-    bins = binning.build_tile_bins(
-        prep, grid_x, grid_y, config.max_pairs, tile_y_offset, gy
-    )
-    m_pad = config.max_pairs + CHUNK * n_tiles
+    sort_block = 2048
+    max_pairs = -(-config.max_pairs // sort_block) * sort_block
+    m_pad = max_pairs + CHUNK * n_tiles
     m_pad = ((m_pad + CHUNK - 1) // CHUNK) * CHUNK
-    feats, cstart, nchunk, gidx, valid = build_aligned_pairs(
-        prep, bins, n_tiles, m_pad
+    gidx, valid, cstart, nchunk, tile_count, num_pairs, num_dropped = (
+        binning.build_aligned_bins(
+            prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
+            sort_block,
+        )
     )
+    # Packed per-splat feature rows, then ONE contiguous row gather per pair
+    # (10 scattered element-gathers -> a single 64B-row gather).
+    gfeat = jnp.concatenate(
+        [
+            prep.p_pix, prep.conic, prep.opacity[:, None], prep.rgb,
+            (1.0 / prep.depth)[:, None],
+        ],
+        axis=1,
+    )
+    gfeat = jnp.pad(gfeat, ((0, 0), (0, NFEAT - 10)))
+    cols = gfeat[jnp.clip(gidx, 0)] * valid.astype(gfeat.dtype)[:, None]
+    feats = cols.reshape(m_pad // CHUNK, CHUNK, NFEAT).transpose(0, 2, 1)
 
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     ox = (t_ids % grid_x) * BLOCK_X
@@ -493,9 +459,9 @@ def rasterize_pallas(
     depth = _assemble(out[..., 3], grid_x, gy, width, out_h)
 
     stats = {
-        "num_pairs": bins.num_pairs,
-        "num_dropped_pairs": bins.num_dropped,
-        "max_tile_count": jnp.max(bins.tile_count),
+        "num_pairs": num_pairs,
+        "num_dropped_pairs": num_dropped,
+        "max_tile_count": jnp.max(tile_count),
         "num_tile_overflow": jnp.zeros((), jnp.int32),
         "num_visible": jnp.sum(prep.visible.astype(jnp.int32)),
     }
