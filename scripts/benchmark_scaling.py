@@ -1,0 +1,130 @@
+"""Scaling harness: rays/s across mesh sizes (BASELINE.json "scaling eff").
+
+Runs the sharded train step over 1/2/4/8-device meshes and reports rays/s
+and parallel efficiency. On this single-chip image it runs on the virtual CPU
+mesh (set GS_TPU_SCALING_CPU=0 to use real devices when you have them) —
+the same code path a real pod slice executes, with XLA collectives over the
+virtual ICI.
+
+Usage: python -m scripts.benchmark_scaling [--width 512 --height 512]
+Writes a markdown table to stdout and BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--splats", type=int, default=20_000)
+    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--out", default="BENCH.md")
+    args = parser.parse_args()
+
+    if os.environ.get("GS_TPU_SCALING_CPU", "1") == "1":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
+    import jax
+
+    try:
+        import jax._src.xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import TilingConfig
+    from gaussian_splatting_lightning_tpu.parallel import (
+        batch_cameras,
+        make_mesh,
+        make_sharded_train_step,
+    )
+    from gaussian_splatting_lightning_tpu.training import TrainConfig, init_adam
+
+    w, h, n = args.width, args.height, args.splats
+    scene = ge._synthetic_scene(n, n, sh_degree=2)
+    cfg = TrainConfig(
+        capacity=n, rasterizer="xla",
+        tiling=TilingConfig(max_pairs=1 << 17, tile_capacity=256, chunk=64),
+    )
+    cam = ge._camera(w, h)
+
+    class _V:  # minimal view record
+        pass
+
+    v = _V()
+    v.viewmatrix = np.asarray(cam.viewmatrix)
+    v.projmatrix = np.asarray(cam.projmatrix)
+    v.campos = np.asarray(cam.campos)
+    v.tanfovx = float(cam.tanfovx)
+    v.tanfovy = float(cam.tanfovy)
+    image = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 3, h, w)).astype(np.float32)
+    )
+    bg = jnp.zeros((1, 3), jnp.float32)
+
+    rows = []
+    base = None
+    n_avail = len(jax.devices())
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > n_avail:
+            break
+        mesh = make_mesh(view=1, tile=n_dev)
+        step = make_sharded_train_step(cfg, 2.0, w, h, mesh)
+        sc = jax.tree.map(jnp.copy, scene)
+        adam = init_adam(sc.params)
+        cams = batch_cameras([v])
+        sc, adam, logs = step(sc, adam, 0, cams, image, bg)
+        jax.block_until_ready(logs["loss"])
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            sc, adam, logs = step(sc, adam, i + 1, cams, image, bg)
+        jax.block_until_ready(logs["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        rays = w * h / dt
+        if base is None:
+            base = rays
+        eff = rays / (base * n_dev)
+        rows.append((n_dev, 1e3 * dt, rays, eff))
+        print(
+            f"tile={n_dev}: {1e3 * dt:.1f} ms/step, {rays:,.0f} rays/s, "
+            f"scaling eff {eff:.0%}"
+        )
+
+    lines = [
+        "# BENCH — scaling (tile-sharded train step, fwd+bwd)",
+        "",
+        f"platform: {jax.devices()[0].platform} x{n_avail} | "
+        f"{w}x{h} px, {n} splats, SH2",
+        "",
+        "| devices (tile axis) | ms/step | rays/s | scaling eff |",
+        "|---|---|---|---|",
+    ]
+    for n_dev, ms, rays, eff in rows:
+        lines.append(f"| {n_dev} | {ms:.1f} | {rays:,.0f} | {eff:.0%} |")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
