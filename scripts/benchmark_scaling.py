@@ -116,6 +116,10 @@ def main():
         f"platform: {jax.devices()[0].platform} x{n_avail} | "
         f"{w}x{h} px, {n} splats, SH2",
         "",
+        "NOTE: on virtual CPU devices all mesh sizes share one host's cores,",
+        "so 'scaling eff' cannot exceed ~1/N by construction — this harness",
+        "validates the sharded program; real efficiency needs real chips.",
+        "",
         "| devices (tile axis) | ms/step | rays/s | scaling eff |",
         "|---|---|---|---|",
     ]
