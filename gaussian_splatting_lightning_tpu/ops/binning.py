@@ -196,33 +196,20 @@ def build_aligned_bins(
     offsets = jnp.cumsum(ntiles_s) - ntiles_s
     total = offsets[-1] + ntiles_s[-1]
     g_s = jnp.clip(owner_of_slot(offsets, max_pairs), 0, n - 1)
-    # XLA TPU gathers cost ~7 cycles/element; five M-sized table lookups
-    # dominated the whole render. Pack the per-splat expansion row once
-    # (N x 8 int32) and do ONE contiguous row gather instead.
-    exp_table = jnp.stack(
-        [
-            offsets, x0_s, nx_s, y0_s,
-            order.astype(jnp.int32),
-            jnp.zeros_like(offsets), jnp.zeros_like(offsets),
-            jnp.zeros_like(offsets),
-        ],
-        axis=1,
-    )  # (N, 8)
-    exp = exp_table[g_s]  # (M, 8)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    local = slot - exp[:, 0]
-    nx_g = exp[:, 2]
+    local = slot - offsets[g_s]
+    nx_g = nx_s[g_s]
     nx_f = nx_g.astype(prep.p_pix.dtype)
     row = jnp.floor(
         (local.astype(prep.p_pix.dtype) + 0.5) / nx_f
     ).astype(jnp.int32)
-    tile_x = exp[:, 1] + local - row * nx_g
-    tile_y = exp[:, 3] + row
+    tile_x = x0_s[g_s] + local - row * nx_g
+    tile_y = y0_s[g_s] + row
     valid0 = slot < jnp.minimum(total, max_pairs)
     key = jnp.where(
         valid0, tile_y * grid_x + tile_x, n_tiles
     ).astype(jnp.int32)
-    gauss = exp[:, 4]
+    gauss = order[g_s].astype(jnp.int32)
 
     # (2) blocked stable sort by tile key, payload = gaussian id
     b = max_pairs // sort_block

@@ -222,6 +222,16 @@ class Trainer:
         self.log_fn = log_fn
         self.step = 0
         self.key = jax.random.PRNGKey(cfg.seed)
+        # optional TensorBoard writer (tensorboardX) — the observability
+        # counterpart of the reference's MLflow logger (utils/lightning.py)
+        self.tb = None
+        if self.out_dir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(str(self.out_dir / "tb"))
+            except Exception:
+                self.tb = None
 
         h, w = self.train_views[0].image.shape[-2:]
         self.height, self.width = h, w
@@ -294,6 +304,10 @@ class Trainer:
                 if self.out_dir:
                     with open(self.out_dir / "train_log.jsonl", "a") as f:
                         f.write(json.dumps(logs) + "\n")
+                if self.tb:
+                    for k, v in logs.items():
+                        if k != "step":
+                            self.tb.add_scalar(f"train/{k}", v, self.step)
             if (
                 self.valid_views
                 and self.step > 0
@@ -348,6 +362,10 @@ class Trainer:
             with open(self.out_dir / "valid_log.jsonl", "a") as f:
                 f.write(json.dumps(mean) + "\n")
             gm.save_ply(self.scene, self.out_dir / f"point_cloud-{self.step:08d}.ply")
+        if self.tb:
+            for k, v in mean.items():
+                if k != "step":
+                    self.tb.add_scalar(k, v, self.step)
         return mean
 
     # -- checkpoint/resume (capability the reference lacks) ----------------
