@@ -1,0 +1,66 @@
+"""Per-view exposure compensation: learnable 3x4 affine color transforms.
+
+Capability parity with the Inria feature the reference vendors but never
+activates (reference C18: ``third_party/.../scene/gaussian_model.py:133-140,
+201-211`` — per-image exposure params with their own optimizer). Applied to
+the rendered image before the loss; initialized to identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ExposureState:
+    params: jnp.ndarray  # (V, 3, 4) affine [A | b]
+    mu: jnp.ndarray  # Adam moments, same shape
+    nu: jnp.ndarray
+    count: jnp.ndarray  # () int32
+
+
+def init_exposure(n_views: int, dtype=jnp.float32) -> ExposureState:
+    eye = jnp.concatenate(
+        [jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype)], axis=1
+    )
+    params = jnp.tile(eye[None], (n_views, 1, 1))
+    return ExposureState(
+        params=params,
+        mu=jnp.zeros_like(params),
+        nu=jnp.zeros_like(params),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def apply_exposure(mat: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
+    """mat (3, 4), image (3, H, W) -> color-transformed image."""
+    return (
+        jnp.einsum("ij,jhw->ihw", mat[:, :3], image) + mat[:, 3][:, None, None]
+    )
+
+
+def exposure_update(
+    state: ExposureState,
+    view_idx,
+    grad: jnp.ndarray,  # (3, 4) gradient for this view's matrix
+    lr: float = 0.001,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-15,
+) -> ExposureState:
+    """Adam step on a single view's exposure row."""
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    m = b1 * state.mu[view_idx] + (1 - b1) * grad
+    v = b2 * state.nu[view_idx] + (1 - b2) * grad * grad
+    update = (m / (1 - b1 ** t)) / (jnp.sqrt(v / (1 - b2 ** t)) + eps)
+    return ExposureState(
+        params=state.params.at[view_idx].add(-lr * update),
+        mu=state.mu.at[view_idx].set(m),
+        nu=state.nu.at[view_idx].set(v),
+        count=count,
+    )

@@ -68,6 +68,8 @@ class TrainConfig:
     capacity: int = 1 << 20
     antialias: bool = False
     sparse_adam: bool = False  # update only splats visible this step (N4)
+    use_exposure: bool = False  # per-view affine color compensation (C18)
+    exposure_lr: float = 0.001
     rasterizer: str = "auto"  # auto | pallas | xla (auto: pallas on TPU)
     densify: DensifyConfig = DensifyConfig()
     optimizer: OptimizerConfig = OptimizerConfig()
@@ -129,23 +131,33 @@ def make_train_step(
     rasterize_fn = resolve_rasterizer(cfg.rasterizer)
 
     def train_step(scene: gm.GaussianScene, adam: AdamState, step, camera: Camera,
-                   image: jnp.ndarray, background: jnp.ndarray):
+                   image: jnp.ndarray, background: jnp.ndarray,
+                   exp_mat=None):
         offset = jnp.zeros((scene.capacity, 2), scene.params.xyz.dtype)
 
-        def loss_fn(params, offset):
+        def loss_fn(params, offset, exp_mat):
             live = dataclasses.replace(scene, params=params)
             out, stats = render_scene(
                 live, camera, width, height, background,
                 cfg.tiling, cfg.antialias, means2d_ndc_offset=offset,
                 rasterize_fn=rasterize_fn,
             )
-            loss, logs = photometric_loss(out.image, image, cfg.w_ssim)
+            rendered = out.image
+            if exp_mat is not None:
+                from gaussian_splatting_lightning_tpu.training.exposure import (
+                    apply_exposure,
+                )
+
+                rendered = apply_exposure(exp_mat, rendered)
+            loss, logs = photometric_loss(rendered, image, cfg.w_ssim)
             return loss, (out.radii, logs, stats)
 
+        argnums = (0, 1, 2) if exp_mat is not None else (0, 1)
         grads, (radii, logs, stats) = jax.grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(scene.params, offset)
-        param_grads, screen_grads = grads
+            loss_fn, argnums=argnums, has_aux=True
+        )(scene.params, offset, exp_mat)
+        param_grads, screen_grads = grads[0], grads[1]
+        exp_grad = grads[2] if exp_mat is not None else None
 
         new_params, adam = adam_update(
             scene.params, param_grads, adam, schedules, cfg.optimizer, step,
@@ -159,6 +171,8 @@ def make_train_step(
         logs["n_gaussians"] = scene.n_alive()
         logs["num_dropped_pairs"] = stats["num_dropped_pairs"]
         logs["num_tile_overflow"] = stats["num_tile_overflow"]
+        if exp_mat is not None:
+            return scene, adam, logs, exp_grad
         return scene, adam, logs
 
     return jax.jit(train_step, donate_argnums=(0, 1))
@@ -233,6 +247,14 @@ class Trainer:
             except Exception:
                 self.tb = None
 
+        self.exposure = None
+        if cfg.use_exposure:
+            from gaussian_splatting_lightning_tpu.training.exposure import (
+                init_exposure,
+            )
+
+            self.exposure = init_exposure(len(self.train_views))
+
         h, w = self.train_views[0].image.shape[-2:]
         self.height, self.width = h, w
         self._train_step = make_train_step(cfg, self.spatial_scale, w, h)
@@ -245,7 +267,8 @@ class Trainer:
     def _next_view(self):
         if not self._perm:
             self._perm = list(self._sampler_rng.permutation(len(self.train_views)))
-        return self.train_views[self._perm.pop(0)]
+        idx = self._perm.pop(0)
+        return idx, self.train_views[idx]
 
     def _camera_of(self, view) -> Camera:
         return Camera(
@@ -287,11 +310,25 @@ class Trainer:
         t_start = time.perf_counter()
         for _ in range(num_iters):
             self.maybe_densify()
-            view = self._next_view()
-            self.scene, self.adam, logs = self._train_step(
-                self.scene, self.adam, self.step, self._camera_of(view),
-                jnp.asarray(view.image), jnp.asarray(view.background),
-            )
+            view_idx, view = self._next_view()
+            if self.exposure is not None:
+                from gaussian_splatting_lightning_tpu.training.exposure import (
+                    exposure_update,
+                )
+
+                self.scene, self.adam, logs, exp_grad = self._train_step(
+                    self.scene, self.adam, self.step, self._camera_of(view),
+                    jnp.asarray(view.image), jnp.asarray(view.background),
+                    self.exposure.params[view_idx],
+                )
+                self.exposure = exposure_update(
+                    self.exposure, view_idx, exp_grad, self.cfg.exposure_lr
+                )
+            else:
+                self.scene, self.adam, logs = self._train_step(
+                    self.scene, self.adam, self.step, self._camera_of(view),
+                    jnp.asarray(view.image), jnp.asarray(view.background),
+                )
             if self.step % self.cfg.log_interval == 0:
                 logs = {k: float(v) for k, v in logs.items()}
                 logs["step"] = self.step

@@ -334,3 +334,49 @@ def test_sparse_adam_skips_invisible_rows():
     # visible rows moved
     assert np.abs(np.asarray(new_params.xyz)[:4] - 1.0).min() > 0
     assert np.abs(np.asarray(new_state.mu.xyz)[:4]).min() > 0
+
+
+def test_exposure_compensation_learns_color_shift():
+    """With a global color distortion on targets, exposure params absorb it."""
+    from gaussian_splatting_lightning_tpu.training.exposure import (
+        apply_exposure,
+        exposure_update,
+        init_exposure,
+    )
+
+    state = init_exposure(3)
+    img = jnp.asarray(RNG.uniform(size=(3, 16, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(apply_exposure(state.params[0], img)), np.asarray(img)
+    )
+    # gradient descent on a pure exposure mismatch converges
+    target = img * 0.5 + 0.1
+
+    def loss(mat):
+        return jnp.mean((apply_exposure(mat, img) - target) ** 2)
+
+    for _ in range(300):
+        g = jax.grad(loss)(state.params[1])
+        state = exposure_update(state, 1, g, lr=0.02)
+    assert float(loss(state.params[1])) < 1e-4
+    # untouched views stay identity
+    np.testing.assert_allclose(
+        np.asarray(state.params[2, :, :3]), np.eye(3), atol=1e-7
+    )
+
+
+def test_trainer_with_exposure_flag():
+    gt, views = _synthetic_views(n_views=3, w=48, h=32)
+    scene = from_points(
+        np.asarray(gt.params.xyz), np.full((40, 3), 0.5, np.float32), 64, 1
+    )
+    cfg = TrainConfig(
+        num_iters=10, capacity=64, log_interval=5, valid_interval=10_000,
+        checkpoint_interval=10_000, use_exposure=True,
+        tiling=TilingConfig(max_pairs=1 << 12, tile_capacity=64, chunk=32),
+        densify=DensifyConfig(densify_since=100, densify_until=0),
+    )
+    tr = Trainer(cfg, scene, 4.0, views, log_fn=lambda *a: None)
+    tr.train()
+    assert np.isfinite(tr.history[-1]["loss"])
+    assert tr.exposure is not None and int(tr.exposure.count) == 10
