@@ -171,8 +171,9 @@ def build_aligned_bins(
       4. one scatter lands (gaussian id, valid) straight into the aligned
          slots consumed by the kernels. No intermediate tile-sorted arrays.
 
-    Returns (gidx (m_pad,), valid (m_pad,), cstart (T,), nchunk (T,),
-    tile_count (T,), num_pairs, num_dropped).
+    Returns (gidx (m_pad,) in *depth-sorted index space*, order (N,) the
+    depth permutation (original = order[gidx]), valid (m_pad,), cstart (T,),
+    nchunk (T,), tile_count (T,), num_pairs, num_dropped).
     """
     chunk = 128  # kernel chunk alignment (rasterize_pallas.CHUNK)
     n = prep.depth.shape[0]
@@ -195,21 +196,43 @@ def build_aligned_bins(
 
     offsets = jnp.cumsum(ntiles_s) - ntiles_s
     total = offsets[-1] + ntiles_s[-1]
-    g_s = jnp.clip(owner_of_slot(offsets, max_pairs), 0, n - 1)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    local = slot - offsets[g_s]
-    nx_g = nx_s[g_s]
+
+    # Gather-free expansion. XLA TPU gathers run at ~7 cycles/element, and
+    # the naive expansion needs four M-sized lookups (offsets/x0/nx/y0 by the
+    # owning splat). Because slot ownership is *monotone*, every lookup is a
+    # run-length broadcast: scatter the value at the run's first slot and
+    # forward-fill with a cumulative max. Non-monotone payloads are made
+    # monotone by packing them under the (monotone) owner index:
+    # packed = owner*512 + field (field < 512, i.e. tile coords of up to
+    # 8K-wide images; owner < 2^22 splats) — unpacked with the owner from
+    # the same fill. Duplicate offsets (zero-area splats) resolve to the
+    # largest owner on every fill, keeping unpacking consistent.
+    def fill(values):
+        marker = jnp.full(max_pairs, -1, jnp.int32)
+        marker = marker.at[offsets].max(values, mode="drop")
+        return jax.lax.cummax(marker)
+
+    K = 512
+    idx_n = jnp.arange(n, dtype=jnp.int32)
+    g_s = jnp.clip(fill(idx_n), 0, n - 1)
+    local = slot - fill(offsets)  # value == position: monotone as-is
+    x0_g = fill(idx_n * K + x0_s) - g_s * K
+    nx_g = fill(idx_n * K + nx_s) - g_s * K
+    y0_g = fill(idx_n * K + y0_s) - g_s * K
+
     nx_f = nx_g.astype(prep.p_pix.dtype)
     row = jnp.floor(
         (local.astype(prep.p_pix.dtype) + 0.5) / nx_f
     ).astype(jnp.int32)
-    tile_x = x0_s[g_s] + local - row * nx_g
-    tile_y = y0_s[g_s] + row
+    tile_x = x0_g + local - row * nx_g
+    tile_y = y0_g + row
     valid0 = slot < jnp.minimum(total, max_pairs)
     key = jnp.where(
         valid0, tile_y * grid_x + tile_x, n_tiles
     ).astype(jnp.int32)
-    gauss = order[g_s].astype(jnp.int32)
+    # payload stays in depth-index space; callers translate via ``order``
+    gauss = g_s
 
     # (2) blocked stable sort by tile key, payload = gaussian id
     b = max_pairs // sort_block
@@ -263,6 +286,7 @@ def build_aligned_bins(
 
     return (
         gidx,
+        order,
         valid,
         pad_start // chunk,
         (padded // chunk).astype(jnp.int32),

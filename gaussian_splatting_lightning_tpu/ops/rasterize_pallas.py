@@ -427,14 +427,14 @@ def rasterize_pallas(
     max_pairs = -(-config.max_pairs // sort_block) * sort_block
     m_pad = max_pairs + CHUNK * n_tiles
     m_pad = ((m_pad + CHUNK - 1) // CHUNK) * CHUNK
-    gidx, valid, cstart, nchunk, tile_count, num_pairs, num_dropped = (
+    gidx, order, valid, cstart, nchunk, tile_count, num_pairs, num_dropped = (
         binning.build_aligned_bins(
             prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
             sort_block,
         )
     )
-    # Packed per-splat feature rows, then ONE contiguous row gather per pair
-    # (10 scattered element-gathers -> a single 64B-row gather).
+    # Packed per-splat feature rows in depth order (gidx indexes depth
+    # space), then ONE contiguous row gather per pair.
     gfeat = jnp.concatenate(
         [
             prep.p_pix, prep.conic, prep.opacity[:, None], prep.rgb,
@@ -442,7 +442,7 @@ def rasterize_pallas(
         ],
         axis=1,
     )
-    gfeat = jnp.pad(gfeat, ((0, 0), (0, NFEAT - 10)))
+    gfeat = jnp.pad(gfeat, ((0, 0), (0, NFEAT - 10)))[order]
     cols = gfeat[jnp.clip(gidx, 0)] * valid.astype(gfeat.dtype)[:, None]
     feats = cols.reshape(m_pad // CHUNK, CHUNK, NFEAT).transpose(0, 2, 1)
 
