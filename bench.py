@@ -34,7 +34,18 @@ def run(w, h, n, iters=10, warmup=2):
 
     scene = ge._synthetic_scene(n, n)
     cam = ge._camera(w, h)
-    cfg = TilingConfig(max_pairs=1 << 21)
+    # adaptive pair budget, like the trainer: probe the scene's actual
+    # (splat, tile) pair count once, then size the static budget to fit —
+    # every per-pair stage costs proportionally to the budget.
+    probe_cfg = TilingConfig(max_pairs=1 << 22)
+    _, probe_stats = rasterize_pallas(
+        scene.params.xyz, scene.get_opacity(), scene.get_scales(),
+        scene.get_rotation(), scene.get_features(), cam, w, h,
+        jnp.zeros(3), 3, config=probe_cfg,
+    )
+    actual_pairs = int(probe_stats["num_pairs"])
+    budget = 1 << max(14, int(np.ceil(np.log2(actual_pairs * 1.3))))
+    cfg = TilingConfig(max_pairs=budget)
     target = jnp.asarray(
         np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32)
     )
@@ -67,7 +78,7 @@ def run(w, h, n, iters=10, warmup=2):
         g = step(*args)
     jax.block_until_ready(g)
     elapsed = time.perf_counter() - t0
-    return elapsed / iters, compile_s
+    return elapsed / iters, compile_s, actual_pairs, budget
 
 
 def main():
@@ -75,7 +86,7 @@ def main():
 
     platform = jax.devices()[0].platform
     w, h, n = 1920, 1080, 100_000
-    step_s, compile_s = run(w, h, n)
+    step_s, compile_s, actual_pairs, budget = run(w, h, n)
     rays_per_s = w * h / step_s
     result = {
         "metric": "rays/s/chip fwd+bwd, 1080p, 100k splats, SH3",
@@ -87,6 +98,8 @@ def main():
             "step_ms": round(1e3 * step_s, 2),
             "compile_s": round(compile_s, 1),
             "impl": "pallas",
+            "pairs": actual_pairs,
+            "pair_budget": budget,
         },
     }
     print(json.dumps(result))

@@ -68,6 +68,8 @@ class TrainConfig:
     capacity: int = 1 << 20
     antialias: bool = False
     sparse_adam: bool = False  # update only splats visible this step (N4)
+    adaptive_pairs: bool = True  # grow tiling.max_pairs on overflow (x2 and
+    # recompile) instead of paying for a worst-case static budget every step
     use_exposure: bool = False  # per-view affine color compensation (C18)
     exposure_lr: float = 0.001
     rasterizer: str = "auto"  # auto | pallas | xla (auto: pallas on TPU)
@@ -257,11 +259,34 @@ class Trainer:
 
         h, w = self.train_views[0].image.shape[-2:]
         self.height, self.width = h, w
-        self._train_step = make_train_step(cfg, self.spatial_scale, w, h)
-        self._eval_step = make_eval_step(cfg, w, h)
+        self._build_steps()
         self._sampler_rng = np.random.default_rng(cfg.seed)
         self._perm: list = []
         self.history: list = []
+
+    def _build_steps(self):
+        self._train_step = make_train_step(
+            self.cfg, self.spatial_scale, self.width, self.height
+        )
+        self._eval_step = make_eval_step(self.cfg, self.width, self.height)
+
+    def _maybe_grow_pairs(self, logs):
+        """Adaptive (splat, tile) budget: every per-pair cost (expansion,
+        sort, scatters, feature gather) scales with tiling.max_pairs, so a
+        static worst-case budget taxes every step. On overflow, double the
+        budget and recompile; the overflowing step only dropped the farthest
+        splats (graceful), and growth happens O(log) times per run."""
+        if not self.cfg.adaptive_pairs:
+            return
+        if int(logs.get("num_dropped_pairs", 0)) > 0:
+            tiling = self.cfg.tiling
+            new = dataclasses.replace(tiling, max_pairs=tiling.max_pairs * 2)
+            self.cfg = dataclasses.replace(self.cfg, tiling=new)
+            self.log_fn(
+                f"[tiling] step {self.step}: pair budget overflow, growing "
+                f"max_pairs to {new.max_pairs} (recompile)"
+            )
+            self._build_steps()
 
     # -- view sampling: fresh permutations, one view per step --------------
     def _next_view(self):
@@ -329,6 +354,7 @@ class Trainer:
                     self.scene, self.adam, self.step, self._camera_of(view),
                     jnp.asarray(view.image), jnp.asarray(view.background),
                 )
+            self._maybe_grow_pairs(logs)
             if self.step % self.cfg.log_interval == 0:
                 logs = {k: float(v) for k, v in logs.items()}
                 logs["step"] = self.step

@@ -380,3 +380,19 @@ def test_trainer_with_exposure_flag():
     tr.train()
     assert np.isfinite(tr.history[-1]["loss"])
     assert tr.exposure is not None and int(tr.exposure.count) == 10
+
+
+def test_adaptive_pair_budget_grows_on_overflow():
+    gt, views = _synthetic_views(n_views=3, w=48, h=32)
+    scene = from_points(
+        np.asarray(gt.params.xyz), np.full((40, 3), 0.5, np.float32), 64, 1
+    )
+    cfg = TrainConfig(
+        num_iters=6, capacity=64, log_interval=100, valid_interval=10_000,
+        checkpoint_interval=10_000, adaptive_pairs=True,
+        tiling=TilingConfig(max_pairs=128, tile_capacity=64, chunk=32),
+        densify=DensifyConfig(densify_since=100, densify_until=0),
+    )
+    tr = Trainer(cfg, scene, 4.0, views, log_fn=lambda *a: None)
+    tr.train()
+    assert tr.cfg.tiling.max_pairs > 128  # grew past the tiny initial budget
