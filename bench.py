@@ -4,9 +4,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (the driver
 contract). The reference publishes no numbers (BASELINE.md), so vs_baseline
 is null; the absolute number is tracked round over round.
 
-Scene: synthetic 100k-splat cloud, 1080p render, SH degree 3, full forward +
-backward through the L1+SSIM loss — the BASELINE.json "rays/s/chip (fwd+bwd)
-at 1080p" metric on one chip, using the Pallas compositing kernels.
+Scene: synthetic 1M-splat cloud with garden-like screen footprint (a trained
+MipNeRF-360 scene has millions of small splats), 1080p render, SH degree 3,
+full forward + backward through the L1+SSIM loss — the BASELINE.json
+"rays/s/chip (fwd+bwd) at 1080p" metric on one chip, Pallas kernels, pair
+budget sized adaptively to the scene.
 """
 
 from __future__ import annotations
@@ -15,6 +17,57 @@ import json
 import time
 
 import numpy as np
+
+
+
+def _estimate_pairs_numpy(scene, cam, w, h):
+    """Host-side (numpy) replica of preprocess+rect counting, for sizing the
+    pair budget without compiling a device probe program."""
+    import numpy as np
+
+    xyz = np.asarray(scene.params.xyz)
+    scales = np.exp(np.asarray(scene.params.scales))
+    q = np.asarray(scene.params.quats)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    view = np.asarray(cam.viewmatrix)
+    ones = np.ones((len(xyz), 1), np.float32)
+    p_view = np.concatenate([xyz, ones], 1) @ view
+    z = p_view[:, 2]
+    visible = z > 0.2
+
+    wq, xq, yq, zq = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.stack([
+        1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - wq * zq), 2 * (xq * zq + wq * yq),
+        2 * (xq * yq + wq * zq), 1 - 2 * (xq * xq + zq * zq), 2 * (yq * zq - wq * xq),
+        2 * (xq * zq - wq * yq), 2 * (yq * zq + wq * xq), 1 - 2 * (xq * xq + yq * yq),
+    ], -1).reshape(-1, 3, 3)
+    L = R * scales[:, None, :]
+    V = L @ np.swapaxes(L, 1, 2)
+    tanx, tany = float(cam.tanfovx), float(cam.tanfovy)
+    fx, fy = w * 0.5 / tanx, h * 0.5 / tany
+    x = np.clip(p_view[:, 0] / z, -1.3 * tanx, 1.3 * tanx) * z
+    y = np.clip(p_view[:, 1] / z, -1.3 * tany, 1.3 * tany) * z
+    W3 = view[:3, :3].T
+    t0 = (fx / z)[:, None] * W3[0] + (-fx * x / z ** 2)[:, None] * W3[2]
+    t1 = (fy / z)[:, None] * W3[1] + (-fy * y / z ** 2)[:, None] * W3[2]
+    a = np.einsum("ni,nij,nj->n", t0, V, t0) + 0.3
+    b = np.einsum("ni,nij,nj->n", t0, V, t1)
+    d = np.einsum("ni,nij,nj->n", t1, V, t1) + 0.3
+    mid = 0.5 * (a + d)
+    lam = mid + np.sqrt(np.maximum(mid * mid - (a * d - b * b), 0.1))
+    radius = np.ceil(3.0 * np.sqrt(lam))
+
+    proj = np.asarray(cam.projmatrix)
+    ph = np.concatenate([xyz, ones], 1) @ proj
+    pw = 1.0 / (ph[:, 3] + 1e-7)
+    px = ((ph[:, 0] * pw + 1) * w - 1) * 0.5
+    py = ((ph[:, 1] * pw + 1) * h - 1) * 0.5
+    gx, gy = -(-w // 16), -(-h // 16)
+    x0 = np.clip(np.trunc((px - radius) / 16), 0, gx)
+    x1 = np.clip(np.trunc((px + radius + 15) / 16), 0, gx)
+    y0 = np.clip(np.trunc((py - radius) / 16), 0, gy)
+    y1 = np.clip(np.trunc((py + radius + 15) / 16), 0, gy)
+    return int(np.where(visible, np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0), 0).sum())
 
 
 def run(w, h, n, iters=10, warmup=2):
@@ -32,19 +85,13 @@ def run(w, h, n, iters=10, warmup=2):
     from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import TilingConfig
     from gaussian_splatting_lightning_tpu.training.loss import photometric_loss
 
-    scene = ge._synthetic_scene(n, n)
+    scene = ge._synthetic_scene(n, n, scale=0.008)
     cam = ge._camera(w, h)
-    # adaptive pair budget, like the trainer: probe the scene's actual
-    # (splat, tile) pair count once, then size the static budget to fit —
-    # every per-pair stage costs proportionally to the budget.
-    probe_cfg = TilingConfig(max_pairs=1 << 22)
-    _, probe_stats = rasterize_pallas(
-        scene.params.xyz, scene.get_opacity(), scene.get_scales(),
-        scene.get_rotation(), scene.get_features(), cam, w, h,
-        jnp.zeros(3), 3, config=probe_cfg,
-    )
-    actual_pairs = int(probe_stats["num_pairs"])
-    budget = 1 << max(14, int(np.ceil(np.log2(actual_pairs * 1.3))))
+    # adaptive pair budget, like the trainer: estimate the scene's actual
+    # (splat, tile) pair count host-side (no device compile), then size the
+    # static budget to fit — every per-pair stage costs proportionally to it.
+    actual_pairs = _estimate_pairs_numpy(scene, cam, w, h)
+    budget = 1 << max(14, int(np.ceil(np.log2(actual_pairs * 1.3 + 1))))
     cfg = TilingConfig(max_pairs=budget)
     target = jnp.asarray(
         np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32)
@@ -85,11 +132,11 @@ def main():
     import jax
 
     platform = jax.devices()[0].platform
-    w, h, n = 1920, 1080, 100_000
+    w, h, n = 1920, 1080, 1_000_000
     step_s, compile_s, actual_pairs, budget = run(w, h, n)
     rays_per_s = w * h / step_s
     result = {
-        "metric": "rays/s/chip fwd+bwd, 1080p, 100k splats, SH3",
+        "metric": "rays/s/chip fwd+bwd, 1080p, 1M splats, SH3",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": None,
