@@ -123,3 +123,27 @@ def test_pallas_backward_matches_oracle_ad(setup):
             b / scale, a / scale, atol=5e-6, err_msg=name
         )
     assert np.abs(np.asarray(gp[5])).sum() > 0
+
+
+def test_pallas_banded_rendering_matches_full(setup):
+    """Tile-row bands (the multi-chip sharding unit) assemble to the full
+    image — validates tile_y_offset/grid_y_local through the Pallas path."""
+    s, cam = setup
+    n, w, h = 250, 96, 64  # grid_y = 4
+    means, opac, scales, quats, sh = _scene(n, s)
+    args = (
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales),
+        jnp.asarray(quats), jnp.asarray(sh), cam, w, h, jnp.zeros(3), 2,
+    )
+    full, _ = rasterize_pallas(*args, config=CFG, interpret=True, early_stop=False)
+    bands = []
+    for band in range(2):
+        out, _ = rasterize_pallas(
+            *args, config=CFG, interpret=True, early_stop=False,
+            tile_y_offset=band * 2, grid_y_local=2,
+        )
+        bands.append(np.asarray(out.image))
+    assembled = np.concatenate(bands, axis=1)
+    np.testing.assert_allclose(
+        assembled, np.asarray(full.image), rtol=1e-5, atol=1e-6
+    )
