@@ -179,3 +179,16 @@ train:
     ]
     assert log[-1]["loss"] < log[0]["loss"]
     assert (run_dir / "config.json").exists()
+
+    # render the trained checkpoint through the CLI (oracle path, CPU)
+    out_png = tmp_path / "render.png"
+    res2 = subprocess.run(
+        [sys.executable, "-m", "scripts.render",
+         str(run_dir / "point_cloud-final.ply"),
+         "--colmap", str(root), "--image-folder", str(root / "images"),
+         "--downscale", "1.0", "--use-oracle", "--out", str(out_png)],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).parent.parent, env=env,
+    )
+    assert res2.returncode == 0, res2.stderr[-3000:]
+    assert out_png.exists()
