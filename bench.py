@@ -91,7 +91,9 @@ def run(w, h, n, iters=10, warmup=2):
     # (splat, tile) pair count host-side (no device compile), then size the
     # static budget to fit — every per-pair stage costs proportionally to it.
     actual_pairs = _estimate_pairs_numpy(scene, cam, w, h)
-    budget = 1 << max(14, int(np.ceil(np.log2(actual_pairs * 1.3 + 1))))
+    # round to sort-block granularity, not the next power of two (which
+    # would re-tax every per-pair stage by up to 2x)
+    budget = max(16384, -(-int(actual_pairs * 1.2) // 8192) * 8192)
     cfg = TilingConfig(max_pairs=budget)
     target = jnp.asarray(
         np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32)
