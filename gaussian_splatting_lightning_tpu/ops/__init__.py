@@ -13,3 +13,7 @@ from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import (  # noqa: F401
     TilingConfig,
     rasterize_tiled,
 )
+from gaussian_splatting_lightning_tpu.ops.rasterize_pallas import (  # noqa: F401
+    rasterize_pallas,
+)
+from gaussian_splatting_lightning_tpu.ops.ssim import psnr, ssim  # noqa: F401
