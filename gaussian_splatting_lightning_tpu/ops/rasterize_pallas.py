@@ -393,6 +393,34 @@ def make_pair_compositor(
 # glue: preprocess/binning -> aligned chunked pair features -> kernel -> image
 # ---------------------------------------------------------------------------
 
+
+@jax.custom_vjp
+def _permute_rows(x, perm, inv_perm):
+    """x[perm] with a gather-based VJP.
+
+    The AD transpose of a permutation gather is a permutation *scatter* —
+    ~100 ms for 1M rows on this TPU backend (HLO fusion.15 in the round-1
+    profile). Since the inverse permutation is known, the cotangent is just
+    another gather: d x = ct[inv_perm].
+    """
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _permute_rows_bwd(inv_perm, ct):
+    f0 = jax.dtypes.float0
+    return (
+        ct[inv_perm],
+        np.zeros(inv_perm.shape, f0),
+        np.zeros(inv_perm.shape, f0),
+    )
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
 def rasterize_pallas(
     means3d, opacities, scales, quats, sh, camera, width, height,
     background, sh_degree, config=None, max_sh_degree=None,
@@ -444,7 +472,8 @@ def rasterize_pallas(
         ],
         axis=1,
     )
-    gfeat = jnp.pad(gfeat, ((0, 0), (0, NFEAT - 10)))[order]
+    gfeat = jnp.pad(gfeat, ((0, 0), (0, NFEAT - 10)))
+    gfeat = _permute_rows(gfeat, order, jnp.argsort(order))
     cols = gfeat[jnp.clip(gidx, 0)] * valid.astype(gfeat.dtype)[:, None]
     feats = cols.reshape(m_pad // CHUNK, CHUNK, NFEAT).transpose(0, 2, 1)
 
