@@ -421,44 +421,6 @@ def _permute_rows_bwd(inv_perm, ct):
 
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
-
-@jax.custom_vjp
-def _gather_pair_rows(table, gidx, valid):
-    """cols = table[gidx] * valid with a sort-based VJP.
-
-    The AD transpose is an *unsorted* scatter-add of m_pad rows into the
-    (N, 16) table — 400 ms at bench scale (HLO fusion.14, round-1 profile:
-    ~85 ns/row serialized). Sorts and gathers are an order of magnitude
-    cheaper here, so the backward sorts the cotangent rows by destination and
-    reduces with a sorted segment-sum instead.
-    """
-    return table[jnp.clip(gidx, 0)] * valid.astype(table.dtype)[:, None]
-
-
-def _gather_pair_rows_fwd(table, gidx, valid):
-    out = table[jnp.clip(gidx, 0)] * valid.astype(table.dtype)[:, None]
-    return out, (table.shape[0], gidx, valid)
-
-
-def _gather_pair_rows_bwd(res, ct):
-    n, gidx, valid = res
-    dcols = ct * valid.astype(ct.dtype)[:, None]
-    keys = jnp.where(valid, gidx, n).astype(jnp.int32)
-    order = jnp.argsort(keys)
-    dtable = jax.ops.segment_sum(
-        dcols[order], keys[order], num_segments=n + 1,
-        indices_are_sorted=True,
-    )[:n]
-    f0 = jax.dtypes.float0
-    return (
-        dtable,
-        np.zeros(gidx.shape, f0),
-        np.zeros(valid.shape, f0),
-    )
-
-
-_gather_pair_rows.defvjp(_gather_pair_rows_fwd, _gather_pair_rows_bwd)
-
 def rasterize_pallas(
     means3d, opacities, scales, quats, sh, camera, width, height,
     background, sh_degree, config=None, max_sh_degree=None,
@@ -512,7 +474,7 @@ def rasterize_pallas(
     )
     gfeat = jnp.pad(gfeat, ((0, 0), (0, NFEAT - 10)))
     gfeat = _permute_rows(gfeat, order, jnp.argsort(order))
-    cols = _gather_pair_rows(gfeat, gidx, valid)
+    cols = gfeat[jnp.clip(gidx, 0)] * valid.astype(gfeat.dtype)[:, None]
     feats = cols.reshape(m_pad // CHUNK, CHUNK, NFEAT).transpose(0, 2, 1)
 
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
