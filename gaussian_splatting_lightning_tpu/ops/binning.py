@@ -234,12 +234,15 @@ def build_aligned_bins(
     # payload stays in depth-index space; callers translate via ``order``
     gauss = g_s
 
-    # (2) blocked stable sort by tile key, payload = gaussian id
+    # (2) blocked stable sort by tile key; payloads: gaussian id + the
+    # expansion slot id (the latter gives the slot -> aligned-slot map the
+    # backward segment-reduce needs)
     b = max_pairs // sort_block
     keys_b = key.reshape(b, sort_block)
     gauss_b = gauss.reshape(b, sort_block)
-    keys_s, gauss_s = jax.lax.sort(
-        (keys_b, gauss_b), dimension=1, num_keys=1, is_stable=True
+    slot_b = slot.reshape(b, sort_block)
+    keys_s, gauss_s, slot_s = jax.lax.sort(
+        (keys_b, gauss_b, slot_b), dimension=1, num_keys=1, is_stable=True
     )
 
     # (3a) rank within (block, tile): distance from the run start
@@ -283,6 +286,15 @@ def build_aligned_bins(
         .set(gauss_s.reshape(-1), mode="drop")
     )
     valid = gidx >= 0
+    # slot -> aligned-slot map (scalar scatter): lets the backward pass
+    # gather per-pair cotangents back into expansion order, where each
+    # splat's pairs are CONTIGUOUS ([offsets_i, offsets_i + ntiles_i)) and a
+    # Pallas segment-reduce replaces XLA's serialized scatter-add.
+    dst_of_slot = (
+        jnp.full(max_pairs, m_pad, jnp.int32)
+        .at[slot_s.reshape(-1)]
+        .set(dst, mode="drop")
+    )
 
     return (
         gidx,
@@ -293,6 +305,8 @@ def build_aligned_bins(
         tile_count,
         total,
         jnp.maximum(total - max_pairs, 0),
+        dst_of_slot,
+        offsets,
     )
 
 

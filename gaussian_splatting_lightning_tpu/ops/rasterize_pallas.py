@@ -421,6 +421,173 @@ def _permute_rows_bwd(inv_perm, ct):
 
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
+
+# -- backward segment-reduce: per-splat sums over contiguous slot ranges ----
+
+SEG_CHUNK = 512  # dslot rows per DMA
+SEG_SPLATS = 128  # splats per grid program
+
+
+def _segreduce_kernel(
+    # scalar prefetch
+    pstart_ref, pchunks_ref, total_ref,
+    # inputs
+    counts_ref, dslot_hbm,
+    # outputs
+    out_ref,
+    # scratch
+    buf, sem, acc,
+):
+    """out[g] = sum of dslot rows in [offsets_g, offsets_g + counts_g).
+
+    One program owns 128 consecutive depth-sorted splats. Their pairs are
+    contiguous in expansion-slot space, so the reduction is a streamed
+    one-hot matmul on the MXU — no scatter, no atomics (the XLA scatter-add
+    this replaces ran at ~85 ns/row).
+    """
+    b = pl.program_id(0)
+    dtype = out_ref.dtype
+    pstart = pstart_ref[b]
+    n_chunks = pchunks_ref[b]
+    total = total_ref[0]
+
+    cnt = counts_ref[0:1, :].astype(dtype)  # (1, 128)
+    U = _strict_upper(dtype)
+    off_rel = jnp.dot(cnt, U, preferred_element_type=dtype)  # exclusive cumsum
+    off_abs = off_rel + pstart.astype(dtype)  # (1, 128)
+    off_next = off_abs + cnt
+
+    acc[...] = jnp.zeros((NFEAT, SEG_SPLATS), dtype)
+
+    def get_dma(slot, ci):
+        return pltpu.make_async_copy(
+            dslot_hbm.at[pl.ds(pstart + ci * SEG_CHUNK, SEG_CHUNK), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            get_dma(1 - slot, ci + 1).start()
+
+        get_dma(slot, ci).wait()
+        rows = buf[slot]  # (SEG_CHUNK, NFEAT)
+        slotg = (
+            pstart + ci * SEG_CHUNK
+            + jax.lax.broadcasted_iota(jnp.int32, (SEG_CHUNK, 1), 0)
+        ).astype(dtype)
+        onehot = (
+            (slotg >= off_abs) & (slotg < off_next)
+            & (slotg < total.astype(dtype))
+        ).astype(dtype)  # (SEG_CHUNK, 128)
+        acc[...] += jax.lax.dot_general(
+            rows, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )  # (NFEAT, 128)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0] = acc[...]
+
+
+def _segreduce_call(dslot, counts2d, pstart, pchunks, total_arr, interpret):
+    n_blocks = counts2d.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, SEG_SPLATS), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NFEAT, SEG_SPLATS), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, SEG_CHUNK, NFEAT), dslot.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NFEAT, SEG_SPLATS), dslot.dtype),
+        ],
+    )
+    return pl.pallas_call(
+        _segreduce_kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks, NFEAT, SEG_SPLATS), dslot.dtype
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pstart, pchunks, total_arr, counts2d, dslot)
+
+
+def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
+    """cols = gfeat_s[gidx] * valid with a Pallas segment-reduce VJP.
+
+    ``gfeat_s`` is the (N, 16) depth-sorted splat-feature table. The VJP
+    gathers pair cotangents into expansion-slot order (where each splat's
+    pairs are contiguous) and reduces them with _segreduce_kernel.
+    """
+    n_blocks = -(-n // SEG_SPLATS)
+    n_pad = n_blocks * SEG_SPLATS
+
+    @jax.custom_vjp
+    def gather(gfeat_s, gidx, valid, dst_of_slot, offsets, total):
+        return gfeat_s[jnp.clip(gidx, 0)] * valid.astype(gfeat_s.dtype)[:, None]
+
+    def fwd(gfeat_s, gidx, valid, dst_of_slot, offsets, total):
+        out = gather(gfeat_s, gidx, valid, dst_of_slot, offsets, total)
+        return out, (gidx, valid, dst_of_slot, offsets, total)
+
+    def bwd(res, ct):
+        gidx, valid, dst_of_slot, offsets, total = res
+        max_pairs = dst_of_slot.shape[0]
+        dcols = ct * valid.astype(ct.dtype)[:, None]  # (m_pad, NFEAT)
+        # to expansion-slot order; rows of invalid slots are masked in-kernel
+        dslot = dcols[jnp.clip(dst_of_slot, 0, m_pad - 1)]
+        dslot = jnp.pad(dslot, ((0, SEG_CHUNK), (0, 0)))
+
+        cap = jnp.minimum(total, max_pairs).astype(jnp.int32)
+        counts = jnp.diff(offsets, append=total[None]).astype(jnp.int32)
+        counts2d = jnp.pad(counts, (0, n_pad - n)).reshape(
+            n_blocks, SEG_SPLATS
+        )
+        if n_pad > n:
+            tail = jnp.broadcast_to(cap, (n_pad - n,))
+            offsets_pad = jnp.concatenate([offsets.astype(jnp.int32), tail])
+        else:
+            offsets_pad = offsets.astype(jnp.int32)
+        pstart = jnp.minimum(offsets_pad[:: SEG_SPLATS], cap)
+        block_len = jnp.diff(pstart, append=cap[None])
+        pchunks = -(-jnp.maximum(block_len, 0) // SEG_CHUNK)
+        total_arr = cap.reshape(1)
+
+        out = _segreduce_call(
+            dslot, counts2d, pstart, pchunks.astype(jnp.int32), total_arr,
+            interpret,
+        )  # (n_blocks, NFEAT, 128)
+        dtable = out.transpose(0, 2, 1).reshape(n_pad, NFEAT)[:n]
+        f0 = jax.dtypes.float0
+        return (
+            dtable,
+            np.zeros(gidx.shape, f0),
+            np.zeros(valid.shape, f0),
+            np.zeros(dst_of_slot.shape, f0),
+            np.zeros(offsets.shape, f0),
+            np.zeros(total.shape, f0),
+        )
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
 def rasterize_pallas(
     means3d, opacities, scales, quats, sh, camera, width, height,
     background, sh_degree, config=None, max_sh_degree=None,
@@ -457,14 +624,15 @@ def rasterize_pallas(
     max_pairs = -(-config.max_pairs // sort_block) * sort_block
     m_pad = max_pairs + CHUNK * n_tiles
     m_pad = ((m_pad + CHUNK - 1) // CHUNK) * CHUNK
-    gidx, order, valid, cstart, nchunk, tile_count, num_pairs, num_dropped = (
-        binning.build_aligned_bins(
-            prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
-            sort_block,
-        )
+    (gidx, order, valid, cstart, nchunk, tile_count, num_pairs,
+     num_dropped, dst_of_slot, slot_offsets) = binning.build_aligned_bins(
+        prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
+        sort_block,
     )
     # Packed per-splat feature rows in depth order (gidx indexes depth
-    # space), then ONE contiguous row gather per pair.
+    # space), then ONE contiguous row gather per pair; both the permutation
+    # and the pair gather carry custom VJPs (gather/segment-reduce) instead
+    # of XLA's serialized scatter-adds.
     gfeat = jnp.concatenate(
         [
             prep.p_pix, prep.conic, prep.opacity[:, None], prep.rgb,
@@ -474,7 +642,11 @@ def rasterize_pallas(
     )
     gfeat = jnp.pad(gfeat, ((0, 0), (0, NFEAT - 10)))
     gfeat = _permute_rows(gfeat, order, jnp.argsort(order))
-    cols = gfeat[jnp.clip(gidx, 0)] * valid.astype(gfeat.dtype)[:, None]
+    pair_gather = make_pair_gather(gfeat.shape[0], m_pad, interpret)
+    cols = pair_gather(
+        gfeat, gidx, valid, dst_of_slot, slot_offsets,
+        jnp.asarray(num_pairs, jnp.int32),
+    )
     feats = cols.reshape(m_pad // CHUNK, CHUNK, NFEAT).transpose(0, 2, 1)
 
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
