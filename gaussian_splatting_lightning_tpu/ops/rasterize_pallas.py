@@ -451,7 +451,7 @@ def _segreduce_kernel(
     n_chunks = pchunks_ref[b]
     total = total_ref[0]
 
-    cnt = counts_ref[0:1, :].astype(dtype)  # (1, 128)
+    cnt = counts_ref[0, 0:1, :].astype(dtype)  # (1, 128)
     U = _strict_upper(dtype)
     off_rel = jnp.dot(cnt, U, preferred_element_type=dtype)  # exclusive cumsum
     off_abs = off_rel + pstart.astype(dtype)  # (1, 128)
@@ -504,7 +504,7 @@ def _segreduce_call(dslot, counts2d, pstart, pchunks, total_arr, interpret):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(
-                (1, SEG_SPLATS), lambda i, *_: (i, 0),
+                (1, 1, SEG_SPLATS), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -558,7 +558,7 @@ def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
         cap = jnp.minimum(total, max_pairs).astype(jnp.int32)
         counts = jnp.diff(offsets, append=total[None]).astype(jnp.int32)
         counts2d = jnp.pad(counts, (0, n_pad - n)).reshape(
-            n_blocks, SEG_SPLATS
+            n_blocks, 1, SEG_SPLATS
         )
         if n_pad > n:
             tail = jnp.broadcast_to(cap, (n_pad - n,))
