@@ -112,7 +112,9 @@ def _fwd_kernel(
 
     def get_dma(slot, ci):
         return pltpu.make_async_copy(
-            feats_hbm.at[cstart + ci], buf.at[slot], sem.at[slot]
+            feats_hbm.at[:, pl.ds((cstart + ci) * CHUNK, CHUNK)],
+            buf.at[slot],
+            sem.at[slot],
         )
 
     @pl.when(n_chunks > 0)
@@ -201,7 +203,9 @@ def _bwd_kernel(
 
     def get_dma(slot, ci):
         return pltpu.make_async_copy(
-            feats_hbm.at[cstart + ci], buf.at[slot], sem.at[slot]
+            feats_hbm.at[:, pl.ds((cstart + ci) * CHUNK, CHUNK)],
+            buf.at[slot],
+            sem.at[slot],
         )
 
     @pl.when(n_chunks > 0)
@@ -271,7 +275,9 @@ def _bwd_kernel(
         # write this chunk's pair grads to its (exclusively owned) HBM block
         dbuf[0] = grad
         out_dma = pltpu.make_async_copy(
-            dbuf.at[0], dfeats_hbm.at[cstart + ci], dsem.at[0]
+            dbuf.at[0],
+            dfeats_hbm.at[:, pl.ds((cstart + ci) * CHUNK, CHUNK)],
+            dsem.at[0],
         )
         out_dma.start()
         out_dma.wait()
@@ -422,6 +428,28 @@ def _permute_rows_bwd(inv_perm, ct):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
+@jax.custom_vjp
+def _permute_cols(x, perm, inv_perm):
+    """x[:, perm] with a gather-based VJP (see _permute_rows)."""
+    return x[:, perm]
+
+
+def _permute_cols_fwd(x, perm, inv_perm):
+    return x[:, perm], inv_perm
+
+
+def _permute_cols_bwd(inv_perm, ct):
+    f0 = jax.dtypes.float0
+    return (
+        ct[:, inv_perm],
+        np.zeros(inv_perm.shape, f0),
+        np.zeros(inv_perm.shape, f0),
+    )
+
+
+_permute_cols.defvjp(_permute_cols_fwd, _permute_cols_bwd)
+
+
 # -- backward segment-reduce: per-splat sums over contiguous slot ranges ----
 
 SEG_CHUNK = 512  # dslot rows per DMA
@@ -533,31 +561,36 @@ def _segreduce_call(dslot, counts2d, pstart, pchunks, total_arr, interpret):
 
 
 def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
-    """cols = gfeat_s[gidx] * valid with a Pallas segment-reduce VJP.
+    """feats = gfeat_T[:, gidx] * valid with a Pallas segment-reduce VJP.
 
-    ``gfeat_s`` is the (N, 16) depth-sorted splat-feature table. The VJP
-    gathers pair cotangents into expansion-slot order (where each splat's
-    pairs are contiguous) and reduces them with _segreduce_kernel.
+    Everything is feature-major (16, ...): the forward is a lane gather from
+    the (16, N) depth-sorted splat table, the kernels consume 128-aligned
+    lane windows, and the VJP gathers pair cotangents into expansion-slot
+    order (where each splat's pairs are contiguous) and reduces them with
+    _segreduce_kernel — no layout transposes anywhere on the pair path.
     """
     n_blocks = -(-n // SEG_SPLATS)
     n_pad = n_blocks * SEG_SPLATS
 
     @jax.custom_vjp
-    def gather(gfeat_s, gidx, valid, dst_of_slot, offsets, total):
-        return gfeat_s[jnp.clip(gidx, 0)] * valid.astype(gfeat_s.dtype)[:, None]
+    def gather(gfeat_t, gidx, valid, dst_of_slot, offsets, total):
+        return jnp.take(gfeat_t, jnp.clip(gidx, 0), axis=1) * valid.astype(
+            gfeat_t.dtype
+        )[None, :]
 
-    def fwd(gfeat_s, gidx, valid, dst_of_slot, offsets, total):
-        out = gather(gfeat_s, gidx, valid, dst_of_slot, offsets, total)
+    def fwd(gfeat_t, gidx, valid, dst_of_slot, offsets, total):
+        out = gather(gfeat_t, gidx, valid, dst_of_slot, offsets, total)
         return out, (gidx, valid, dst_of_slot, offsets, total)
 
     def bwd(res, ct):
         gidx, valid, dst_of_slot, offsets, total = res
         max_pairs = dst_of_slot.shape[0]
-        dcols = ct * valid.astype(ct.dtype)[:, None]  # (m_pad, NFEAT)
-        # to expansion-slot order; rows of invalid slots are masked in-kernel;
-        # feature-major for 128-aligned lane-window DMAs
-        dslot = dcols[jnp.clip(dst_of_slot, 0, m_pad - 1)]
-        dslot = jnp.pad(dslot, ((0, SEG_CHUNK + 128), (0, 0))).T
+        dcols_t = ct * valid.astype(ct.dtype)[None, :]  # (NFEAT, m_pad)
+        # to expansion-slot order; lanes of invalid slots are masked in-kernel
+        dslot = jnp.take(
+            dcols_t, jnp.clip(dst_of_slot, 0, m_pad - 1), axis=1
+        )
+        dslot = jnp.pad(dslot, ((0, 0), (0, SEG_CHUNK + 128)))
 
         cap = jnp.minimum(total, max_pairs).astype(jnp.int32)
         counts = jnp.diff(offsets, append=total[None]).astype(jnp.int32)
@@ -580,7 +613,7 @@ def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
             dslot, counts2d, pstart, pchunks.astype(jnp.int32), total_arr,
             interpret,
         )  # (n_blocks, NFEAT, 128)
-        dtable = out.transpose(0, 2, 1).reshape(n_pad, NFEAT)[:n]
+        dtable = out.transpose(1, 0, 2).reshape(NFEAT, n_pad)[:, :n]
         f0 = jax.dtypes.float0
         return (
             dtable,
@@ -639,21 +672,24 @@ def rasterize_pallas(
     # space), then ONE contiguous row gather per pair; both the permutation
     # and the pair gather carry custom VJPs (gather/segment-reduce) instead
     # of XLA's serialized scatter-adds.
-    gfeat = jnp.concatenate(
+    zeros_n = jnp.zeros_like(prep.depth)
+    gfeat_t = jnp.stack(
         [
-            prep.p_pix, prep.conic, prep.opacity[:, None], prep.rgb,
-            (1.0 / prep.depth)[:, None],
+            prep.p_pix[:, 0], prep.p_pix[:, 1],
+            prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+            prep.opacity,
+            prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
+            1.0 / prep.depth,
+            zeros_n, zeros_n, zeros_n, zeros_n, zeros_n, zeros_n,
         ],
-        axis=1,
-    )
-    gfeat = jnp.pad(gfeat, ((0, 0), (0, NFEAT - 10)))
-    gfeat = _permute_rows(gfeat, order, jnp.argsort(order))
-    pair_gather = make_pair_gather(gfeat.shape[0], m_pad, interpret)
-    cols = pair_gather(
-        gfeat, gidx, valid, dst_of_slot, slot_offsets,
+        axis=0,
+    )  # (NFEAT, N), feature-major from the start: no transposes on this path
+    gfeat_t = _permute_cols(gfeat_t, order, jnp.argsort(order))
+    pair_gather = make_pair_gather(gfeat_t.shape[1], m_pad, interpret)
+    feats = pair_gather(
+        gfeat_t, gidx, valid, dst_of_slot, slot_offsets,
         jnp.asarray(num_pairs, jnp.int32),
-    )
-    feats = cols.reshape(m_pad // CHUNK, CHUNK, NFEAT).transpose(0, 2, 1)
+    )  # (NFEAT, m_pad)
 
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     ox = (t_ids % grid_x) * BLOCK_X
