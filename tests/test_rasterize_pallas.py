@@ -147,3 +147,46 @@ def test_pallas_banded_rendering_matches_full(setup):
     np.testing.assert_allclose(
         assembled, np.asarray(full.image), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("n,budget", [(197, 1 << 14), (300, 2048)])
+def test_pallas_backward_odd_sizes_and_overflow(setup, n, budget):
+    """Segment-reduce VJP edge cases: splat counts not divisible by the
+    128-splat program size, and pair-budget overflow (dropped pairs must
+    simply contribute zero gradient, matching the oracle on the same drop)."""
+    s, cam = setup
+    w, h = 64, 48
+    means, opac, scales, quats, sh = _scene(n, s)
+    bg = jnp.zeros(3)
+    target = jnp.linspace(0, 1, 3 * h * w).reshape(3, h, w)
+    cfg = TilingConfig(max_pairs=budget, tile_capacity=256, chunk=64)
+
+    def loss_pallas(*p):
+        out, _ = rasterize_pallas(
+            p[0], p[1], p[2], p[3], p[4], cam, w, h, bg, 2, config=cfg,
+            interpret=True, early_stop=False,
+        )
+        return jnp.abs(out.image - target).mean()
+
+    args = (
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales),
+        jnp.asarray(quats), jnp.asarray(sh),
+    )
+    g = jax.grad(loss_pallas, argnums=tuple(range(5)))(*args)
+    for gi in g:
+        assert np.isfinite(np.asarray(gi)).all()
+    # compare against plain JAX AD through the XLA tiled path with the SAME
+    # budget (identical pair drops -> identical gradients)
+    from gaussian_splatting_lightning_tpu.ops import rasterize_tiled
+
+    def loss_tiled(*p):
+        out, _ = rasterize_tiled(
+            p[0], p[1], p[2], p[3], p[4], cam, w, h, bg, 2, config=cfg
+        )
+        return jnp.abs(out.image - target).mean()
+
+    gt = jax.grad(loss_tiled, argnums=tuple(range(5)))(*args)
+    for name, a, b in zip(["means", "op", "sc", "q", "sh"], gt, g):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-5, err_msg=name)
