@@ -1,0 +1,118 @@
+"""Evaluate a trained checkpoint over a validation split.
+
+Renders every selected view and reports per-view and mean PSNR / SSIM / L1 —
+the field-standard evaluation pass the reference never ships (SURVEY §5:
+"no PSNR/LPIPS eval metrics").
+
+Usage:
+    python -m scripts.eval CKPT.ply --colmap PATH --image-folder PATH \
+        [--resize-to 1600 | --downscale 0.5] [--holdout-every 8]
+        [--idx-file eval.txt] [--use-oracle] [--out metrics.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("checkpoint")
+    parser.add_argument("--colmap", required=True)
+    parser.add_argument("--image-folder", required=True)
+    parser.add_argument("--resize-to", type=int, default=None)
+    parser.add_argument("--downscale", type=float, default=None)
+    parser.add_argument("--holdout-every", type=int, default=None,
+                        help="evaluate every Nth view (llff-style split)")
+    parser.add_argument("--idx-file", default=None)
+    parser.add_argument("--white-background", action="store_true")
+    parser.add_argument("--use-oracle", action="store_true")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_splatting_lightning_tpu.core.camera import Camera
+    from gaussian_splatting_lightning_tpu.data import ColmapDataset
+    from gaussian_splatting_lightning_tpu.models import load_ply
+    from gaussian_splatting_lightning_tpu.ops.rasterize_reference import (
+        rasterize_reference,
+    )
+    from gaussian_splatting_lightning_tpu.ops.ssim import psnr, ssim
+    from gaussian_splatting_lightning_tpu.training.trainer import (
+        render_scene,
+        resolve_rasterizer,
+    )
+    from gaussian_splatting_lightning_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+    scene = load_ply(args.checkpoint)
+    ds = ColmapDataset(
+        args.colmap, args.image_folder, image_idx=args.idx_file,
+        resize_to=args.resize_to, downscale=args.downscale,
+        white_background=args.white_background, preload_data=False,
+    )
+    indices = list(range(len(ds)))
+    if args.holdout_every:
+        indices = indices[:: args.holdout_every]
+
+    raster = resolve_rasterizer("auto")
+    render_jit = None
+    rows = []
+    for i in indices:
+        view = ds[i]
+        h, w = view.image.shape[-2:]
+        cam = Camera(
+            viewmatrix=jnp.asarray(view.viewmatrix),
+            projmatrix=jnp.asarray(view.projmatrix),
+            campos=jnp.asarray(view.campos),
+            tanfovx=jnp.asarray(view.tanfovx),
+            tanfovy=jnp.asarray(view.tanfovy),
+        )
+        if args.use_oracle:
+            image = rasterize_reference(
+                scene.params.xyz, scene.get_opacity(), scene.get_scales(),
+                scene.get_rotation(), scene.get_features(), cam, w, h,
+                jnp.asarray(view.background), int(scene.active_sh_degree),
+            ).image
+        else:
+            if render_jit is None:
+                render_jit = jax.jit(
+                    lambda s, c, bg: render_scene(
+                        s, c, w, h, bg, rasterize_fn=raster
+                    )[0].image
+                )
+            image = render_jit(scene, cam, jnp.asarray(view.background))
+        gt = jnp.asarray(view.image)
+        image = jnp.clip(image, 0.0, 1.0)
+        rows.append(
+            dict(
+                view=view.name or str(i),
+                psnr=float(psnr(image, gt)),
+                ssim=float(ssim(image, gt)),
+                l1=float(jnp.mean(jnp.abs(image - gt))),
+            )
+        )
+        print(
+            f"{rows[-1]['view']}: psnr={rows[-1]['psnr']:.2f} "
+            f"ssim={rows[-1]['ssim']:.4f} l1={rows[-1]['l1']:.4f}"
+        )
+
+    mean = {
+        k: float(np.mean([r[k] for r in rows])) for k in ("psnr", "ssim", "l1")
+    }
+    print(
+        f"MEAN over {len(rows)} views: psnr={mean['psnr']:.2f} "
+        f"ssim={mean['ssim']:.4f} l1={mean['l1']:.4f}"
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"views": rows, "mean": mean}, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -192,3 +192,19 @@ train:
     )
     assert res2.returncode == 0, res2.stderr[-3000:]
     assert out_png.exists()
+
+    # evaluate the checkpoint through the CLI
+    metrics_json = tmp_path / "metrics.json"
+    res3 = subprocess.run(
+        [sys.executable, "-m", "scripts.eval",
+         str(run_dir / "point_cloud-final.ply"),
+         "--colmap", str(root), "--image-folder", str(root / "images"),
+         "--downscale", "1.0", "--holdout-every", "3", "--use-oracle",
+         "--out", str(metrics_json)],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).parent.parent, env=env,
+    )
+    assert res3.returncode == 0, res3.stderr[-3000:]
+    metrics = json.loads(metrics_json.read_text())
+    assert metrics["mean"]["psnr"] > 5.0
+    assert 0.0 <= metrics["mean"]["ssim"] <= 1.0
