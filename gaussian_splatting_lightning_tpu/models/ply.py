@@ -62,6 +62,37 @@ def read_ply_vertices(path) -> np.ndarray:
     if fmt == "binary_big_endian":
         raise ValueError("big-endian PLY unsupported")
 
+    if fmt == "ascii":
+        # ASCII PLY: one line per element item, elements in declared order.
+        # Walk every element's line range so 'vertex' parses correctly even
+        # when it is not the first element or is followed by others.
+        lines = body.decode("ascii").splitlines()
+        row = 0
+        for name, count, props in elements:
+            if name != "vertex":
+                row += count
+                continue
+            if any(isinstance(d, tuple) for _, d in props):
+                raise ValueError("list properties on vertex element unsupported")
+            rows = lines[row : row + count]
+            if len(rows) < count:
+                raise ValueError(
+                    f"{path}: vertex element truncated "
+                    f"({len(rows)}/{count} rows)"
+                )
+            dtype = np.dtype([(p, d) for p, d in props])
+            arr = np.loadtxt(rows, dtype=np.float64, ndmin=2)
+            if arr.shape[1] != len(props):
+                raise ValueError(
+                    f"{path}: vertex rows have {arr.shape[1]} columns, "
+                    f"header declares {len(props)} properties"
+                )
+            out = np.zeros(count, dtype=dtype)
+            for i, (p, _) in enumerate(props):
+                out[p] = arr[:count, i]
+            return out
+        raise ValueError(f"{path}: no vertex element found")
+
     offset = 0
     for name, count, props in elements:
         if any(isinstance(d, tuple) for _, d in props):
@@ -69,16 +100,6 @@ def read_ply_vertices(path) -> np.ndarray:
                 raise ValueError("list properties on vertex element unsupported")
             break  # list-bearing elements terminate fixed-stride parsing
         dtype = np.dtype([(p, d) for p, d in props])
-        if fmt == "ascii":
-            text = body.decode("ascii")
-            rows = text.splitlines()[: count if name == "vertex" else count]
-            if name == "vertex":
-                arr = np.loadtxt(rows, dtype=np.float64, ndmin=2)
-                out = np.zeros(count, dtype=dtype)
-                for i, (p, _) in enumerate(props):
-                    out[p] = arr[:count, i]
-                return out
-            continue
         nbytes = dtype.itemsize * count
         if name == "vertex":
             return np.frombuffer(body, dtype=dtype, count=count, offset=offset)

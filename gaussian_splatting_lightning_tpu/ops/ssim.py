@@ -46,6 +46,27 @@ def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
     return x
 
 
+def ssim_map(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Per-pixel SSIM map, (B, C, H, W) -> (B, C, H, W), same (zero) padding.
+
+    Exposed separately so the tile-sharded loss can compute masked band
+    partial sums of the exact full-image map (parallel/shard.py)."""
+    mu1 = _blur(img1, window_size, sigma)
+    mu2 = _blur(img2, window_size, sigma)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, window_size, sigma) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window_size, sigma) - mu2_sq
+    sigma12 = _blur(img1 * img2, window_size, sigma) - mu12
+    return ((2.0 * mu12 + C1) * (2.0 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+
+
 def ssim(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
@@ -55,16 +76,7 @@ def ssim(
     """Mean SSIM between two (B, C, H, W) or (C, H, W) images in [0, 1]."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
-    mu1 = _blur(img1, window_size, sigma)
-    mu2 = _blur(img2, window_size, sigma)
-    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window_size, sigma) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window_size, sigma) - mu2_sq
-    sigma12 = _blur(img1 * img2, window_size, sigma) - mu12
-    ssim_map = ((2.0 * mu12 + C1) * (2.0 * sigma12 + C2)) / (
-        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
-    )
-    return jnp.mean(ssim_map)
+    return jnp.mean(ssim_map(img1, img2, window_size, sigma))
 
 
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:

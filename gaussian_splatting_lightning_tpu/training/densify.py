@@ -62,20 +62,32 @@ class DensifyConfig:
 
 def accumulate_stats(
     scene: GaussianScene,
-    radii: jnp.ndarray,  # (C,) from the render
-    screenspace_grad: jnp.ndarray,  # (C, 2) NDC-space mean gradients
+    radii: jnp.ndarray,  # (C,) or (B, C) from the render
+    screenspace_grad: jnp.ndarray,  # (C, 2) or (B, C, 2) NDC mean gradients
 ) -> GaussianScene:
     """Spec: update_max_radii2D / update_xyz_gradient
-    (gaussian_model.py:174-181), gated on radii > 0."""
+    (gaussian_model.py:174-181), gated on radii > 0.
+
+    A leading batch axis (batched multi-view step) reduces exactly as B
+    sequential reference steps would: max over views for radii, per-view
+    grad-norm sums, count += number of views that saw the splat."""
     seen = radii > 0
+    norms = jnp.linalg.norm(screenspace_grad[..., :2], axis=-1)
+    contrib = jnp.where(seen, norms, 0.0)
+    if radii.ndim == 2:
+        radii = jnp.max(radii, axis=0)
+        contrib = jnp.sum(contrib, axis=0)
+        count = jnp.sum(seen.astype(scene.grad_count.dtype), axis=0)
+        seen = radii > 0
+    else:
+        count = seen.astype(scene.grad_count.dtype)
     return dataclasses.replace(
         scene,
         max_radii2d=jnp.where(
             seen, jnp.maximum(scene.max_radii2d, radii), scene.max_radii2d
         ),
-        grad_accum=scene.grad_accum
-        + jnp.where(seen, jnp.linalg.norm(screenspace_grad[:, :2], axis=-1), 0.0),
-        grad_count=scene.grad_count + seen.astype(scene.grad_count.dtype),
+        grad_accum=scene.grad_accum + contrib,
+        grad_count=scene.grad_count + count,
     )
 
 

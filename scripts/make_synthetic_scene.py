@@ -1,0 +1,221 @@
+"""Synthetic COLMAP scene generator.
+
+No real COLMAP dataset can exist in this image (zero egress), so this tool
+builds the closest attainable stand-in for the reference's garden/truck
+operating point (reference configs/train_gs.yaml:1-42): a procedural
+ground-truth splat set rendered from an orbit of cameras, written as a
+standard COLMAP binary model (cameras.bin / images.bin / points3D.bin, the
+layout parsed by data/colmap.py) plus PNG images — so the *product* training
+path (scripts/train.py) runs end-to-end on it, including densification from
+a sparse noisy SfM-like point cloud up to a recovery-PSNR target.
+
+Usage:
+    python -m scripts.make_synthetic_scene --out /tmp/scene \
+        --n-views 24 --width 1920 --height 1080 --n-splats 80000
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+from pathlib import Path
+
+import numpy as np
+
+
+def rotmat_to_qvec(R: np.ndarray) -> np.ndarray:
+    """(3,3) rotation -> wxyz quaternion (COLMAP convention)."""
+    K = (
+        np.array(
+            [
+                [R[0, 0] - R[1, 1] - R[2, 2], 0, 0, 0],
+                [R[0, 1] + R[1, 0], R[1, 1] - R[0, 0] - R[2, 2], 0, 0],
+                [R[0, 2] + R[2, 0], R[1, 2] + R[2, 1], R[2, 2] - R[0, 0] - R[1, 1], 0],
+                [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1],
+                 R[0, 0] + R[1, 1] + R[2, 2]],
+            ]
+        )
+        / 3.0
+    )
+    vals, vecs = np.linalg.eigh(K)
+    q = vecs[[3, 0, 1, 2], np.argmax(vals)]
+    return q * np.sign(q[0]) if q[0] != 0 else q
+
+
+def write_colmap_model(root: Path, cameras, images, points_xyz, points_rgb):
+    """cameras: {cid: (w, h, fx, fy, cx, cy)}; images: {iid: (qvec, tvec,
+    cid, name)}. Binary layouts per COLMAP reconstruction_io.cc."""
+    root.mkdir(parents=True, exist_ok=True)
+    with open(root / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", len(cameras)))
+        for cid, (w, h, fx, fy, cx, cy) in cameras.items():
+            f.write(struct.pack("<iiQQ", cid, 1, w, h))  # PINHOLE
+            f.write(struct.pack("<4d", fx, fy, cx, cy))
+    with open(root / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for iid, (qvec, tvec, cid, name) in images.items():
+            f.write(struct.pack("<i", iid))
+            f.write(struct.pack("<4d", *qvec))
+            f.write(struct.pack("<3d", *tvec))
+            f.write(struct.pack("<i", cid))
+            f.write(name.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<Q", 0))  # no 2D points
+    with open(root / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", len(points_xyz)))
+        rgb8 = np.clip(points_rgb * 255.0, 0, 255).astype(np.uint8)
+        for i, (p, c) in enumerate(zip(points_xyz, rgb8)):
+            f.write(struct.pack("<Q3d3Bd", i, *p.astype(np.float64), *c, 0.5))
+            f.write(struct.pack("<Q", 0))  # empty track
+
+
+def make_gt_scene(n_splats: int, sh_degree: int, seed: int):
+    """Procedural ground truth: colored Gaussian clusters in a ball plus a
+    ground slab — garden-like screen statistics (many small anisotropic
+    splats at mixed depths), self-consistent by construction."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gaussian_splatting_lightning_tpu.models import from_points
+
+    rng = np.random.default_rng(seed)
+    n_clusters = 96
+    centers = rng.normal(size=(n_clusters, 3)).astype(np.float32)
+    centers *= np.array([1.6, 0.7, 1.6], np.float32)
+    base_rgb = rng.uniform(0.15, 0.95, size=(n_clusters, 3)).astype(np.float32)
+    cluster_of = rng.integers(0, n_clusters, size=n_splats)
+    n_ground = n_splats // 5
+    cluster_of[:n_ground] = -1
+
+    xyz = centers[cluster_of] + rng.normal(size=(n_splats, 3)).astype(
+        np.float32
+    ) * rng.uniform(0.05, 0.35, size=(n_splats, 1)).astype(np.float32)
+    # ground slab
+    xyz[:n_ground, 0] = rng.uniform(-2.5, 2.5, n_ground)
+    xyz[:n_ground, 2] = rng.uniform(-2.5, 2.5, n_ground)
+    xyz[:n_ground, 1] = -1.2 + rng.normal(scale=0.02, size=n_ground)
+
+    rgb = np.clip(
+        base_rgb[cluster_of]
+        + rng.normal(scale=0.08, size=(n_splats, 3)).astype(np.float32),
+        0.02, 0.98,
+    )
+    rgb[:n_ground] = np.clip(
+        np.array([0.35, 0.45, 0.25], np.float32)
+        + rng.normal(scale=0.05, size=(n_ground, 3)).astype(np.float32),
+        0.02, 0.98,
+    )
+
+    scene = from_points(xyz, rgb, capacity=n_splats, sh_degree=sh_degree)
+    log_s = rng.normal(
+        loc=np.log(0.02), scale=0.5, size=(n_splats, 3)
+    ).astype(np.float32)
+    log_s[:n_ground, 1] -= 2.0  # flat ground splats
+    op_logit = rng.normal(loc=1.5, scale=1.0, size=(n_splats, 1)).astype(
+        np.float32
+    )
+    quats = rng.normal(size=(n_splats, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    scene = dataclasses.replace(
+        scene,
+        params=dataclasses.replace(
+            scene.params,
+            scales=jnp.asarray(log_s),
+            opacity=jnp.asarray(op_logit),
+            quats=jnp.asarray(quats),
+        ),
+    )
+    return scene
+
+
+def orbit_pose(i: int, n: int, radius: float, seed: int = 0):
+    """world->cam [R|t] rows for camera i on a two-height orbit ring."""
+    ang = 2.0 * np.pi * i / n
+    height = 0.45 if i % 2 == 0 else 1.1
+    pos = np.array(
+        [radius * np.cos(ang), height, radius * np.sin(ang)], np.float64
+    )
+    fwd = -pos / np.linalg.norm(pos)  # look at origin
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    up2 = np.cross(fwd, right)
+    R = np.stack([right, up2, fwd], 0)  # world->cam rows
+    t = -R @ pos
+    return R, t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-views", type=int, default=24)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--n-splats", type=int, default=80_000)
+    ap.add_argument("--n-points", type=int, default=20_000)
+    ap.add_argument("--radius", type=float, default=4.0)
+    ap.add_argument("--fov-deg", type=float, default=60.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import imageio.v2 as imageio
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splatting_lightning_tpu.core.camera import make_camera
+    from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import TilingConfig
+    from gaussian_splatting_lightning_tpu.training.trainer import (
+        render_scene,
+        resolve_rasterizer,
+    )
+    from gaussian_splatting_lightning_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+    out = Path(args.out)
+    (out / "images").mkdir(parents=True, exist_ok=True)
+
+    w, h = args.width, args.height
+    fx = fy = (w * 0.5) / np.tan(np.radians(args.fov_deg) * 0.5)
+    print(f"GT scene: {args.n_splats} splats; {args.n_views} views {w}x{h}")
+    gt = make_gt_scene(args.n_splats, sh_degree=0, seed=args.seed)
+    raster = resolve_rasterizer("auto")
+
+    cameras = {1: (w, h, fx, fy, w / 2.0, h / 2.0)}
+    images = {}
+    max_pairs = 1 << 20
+    rng = np.random.default_rng(args.seed + 1)
+    for i in range(args.n_views):
+        R, t = orbit_pose(i, args.n_views, args.radius)
+        cam = make_camera(np.concatenate([R, t[:, None]], 1), fx, fy, w, h)
+        while True:  # adaptive budget: re-render on overflow
+            tiling = TilingConfig(max_pairs=max_pairs)
+            out_r, stats = render_scene(
+                gt, cam, w, h, jnp.zeros(3), tiling, rasterize_fn=raster
+            )
+            if int(stats["num_dropped_pairs"]) == 0 and int(
+                stats["num_tile_overflow"]
+            ) == 0:
+                break
+            max_pairs *= 2
+            print(f"  overflow at view {i}: growing pair budget to {max_pairs}")
+        img = np.clip(np.asarray(out_r.image), 0.0, 1.0)
+        img8 = (np.moveaxis(img, 0, -1) * 255.0 + 0.5).astype(np.uint8)
+        name = f"frame_{i:04d}.png"
+        imageio.imwrite(out / "images" / name, img8)
+        images[i + 1] = (rotmat_to_qvec(R), t, 1, name)
+        print(f"  rendered {name}")
+
+    # SfM-like sparse point cloud: noisy subsample of GT splat centers
+    sel = rng.choice(args.n_splats, size=min(args.n_points, args.n_splats),
+                     replace=False)
+    pts = np.asarray(gt.params.xyz)[sel] + rng.normal(
+        scale=0.01, size=(len(sel), 3)
+    ).astype(np.float32)
+    cols = np.asarray(gt.params.features_dc)[sel, 0] * 0.28209479177 + 0.5
+    write_colmap_model(out / "sparse" / "0", cameras, images, pts,
+                       np.clip(cols, 0, 1))
+    print(f"wrote COLMAP model + {args.n_views} images under {out}")
+
+
+if __name__ == "__main__":
+    main()
