@@ -49,7 +49,35 @@ def make_mesh(
 ) -> Mesh:
     """Build the ("view", "tile") mesh. ``tile`` defaults to filling all
     devices. Device order: tile axis varies fastest so each view group's tile
-    ring stays on adjacent (ICI-linked) devices."""
+    ring stays on adjacent (ICI-linked) devices.
+
+    Multi-host (multi-process) layouts use
+    ``mesh_utils.create_hybrid_device_mesh`` so the "view" axis maps across
+    DCN (hosts) and the "tile" axis stays inside each host's ICI domain —
+    only the replicated-gradient psum and data sharding cross hosts
+    (SURVEY §2.3 consequence; VERDICT r1 missing #3)."""
+    if devices is None and jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        n_proc = jax.process_count()
+        n_dev = len(jax.devices())
+        if tile is None:
+            if n_dev % view:
+                raise ValueError(
+                    f"{n_dev} devices not divisible by view={view}"
+                )
+            tile = n_dev // view
+        if view % n_proc:
+            raise ValueError(
+                f"multi-host mesh requires the view axis ({view}) to be a "
+                f"multiple of the process count ({n_proc}) so tile rings "
+                f"never cross DCN"
+            )
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(view // n_proc, tile),
+            dcn_mesh_shape=(n_proc, 1),
+        )
+        return Mesh(grid, axis_names=("view", "tile"))
     devices = list(devices if devices is not None else jax.devices())
     if tile is None:
         if len(devices) % view:

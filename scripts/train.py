@@ -90,9 +90,19 @@ def main():
         f"{len(train_views)} train / {len(valid_views)} valid views"
     )
 
+    mesh = None
+    if cfg.mesh_tile is not None or cfg.mesh_view > 1:
+        from gaussian_splatting_lightning_tpu.parallel import make_mesh
+
+        mesh = make_mesh(view=cfg.mesh_view, tile=cfg.mesh_tile)
+        print(
+            f"mesh: view={mesh.shape['view']} x tile={mesh.shape['tile']} "
+            f"({mesh.devices.size} devices)"
+        )
+
     trainer = Trainer(
         cfg.train, scene, norm["radius"], train_views, valid_views,
-        out_dir=out_dir,
+        out_dir=out_dir, mesh=mesh,
     )
     if args.resume:
         resume_path = args.resume
