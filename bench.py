@@ -56,6 +56,10 @@ def _estimate_pairs_numpy(scene, cam, w, h):
     mid = 0.5 * (a + d)
     lam = mid + np.sqrt(np.maximum(mid * mid - (a * d - b * b), 0.1))
     radius = np.ceil(3.0 * np.sqrt(lam))
+    # opacity-aware exact support radius (ops/common.py preprocess)
+    op = 1.0 / (1.0 + np.exp(-np.asarray(scene.params.opacity[:, 0])))
+    log_ratio = np.log(np.maximum(op * 255.0, 1.0))
+    radius = np.minimum(radius, np.ceil(np.sqrt(2.0 * log_ratio * lam)) + 1.0)
 
     proj = np.asarray(cam.projmatrix)
     ph = np.concatenate([xyz, ones], 1) @ proj

@@ -54,18 +54,36 @@ def build_cov3d(
 
     Spec: reference ``render_tools.py:56-70`` (computeConv3D). ``quats`` are
     assumed normalized. (..., 3), (..., 4) -> (..., 6).
+
+    Written as pure elementwise math over the rotation-matrix entries
+    (Sigma_ij = sum_k s_k^2 R_ik R_jk) rather than batched 3x3 matmuls:
+    XLA lowers (N,3,3) dot_generals to convolution fusions on T(4,128)
+    layouts that cost ~50 ms at N=1M on v5e, vs ~2 ms for the VPU loop this
+    fuses into.
     """
-    R = quat_to_rotmat(quats)
     s = scales * scale_modifier
-    L = R * s[..., None, :]  # R @ diag(s)
-    cov = L @ jnp.swapaxes(L, -1, -2)
-    return jnp.stack(
-        [
-            cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
-            cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2],
-        ],
-        axis=-1,
-    )
+    s2 = s * s
+    s2x, s2y, s2z = s2[..., 0], s2[..., 1], s2[..., 2]
+    w, x, y, z = quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    r00 = 1.0 - 2.0 * (yy + zz)
+    r01 = 2.0 * (xy - wz)
+    r02 = 2.0 * (xz + wy)
+    r10 = 2.0 * (xy + wz)
+    r11 = 1.0 - 2.0 * (xx + zz)
+    r12 = 2.0 * (yz - wx)
+    r20 = 2.0 * (xz - wy)
+    r21 = 2.0 * (yz + wx)
+    r22 = 1.0 - 2.0 * (xx + yy)
+    c_xx = s2x * r00 * r00 + s2y * r01 * r01 + s2z * r02 * r02
+    c_xy = s2x * r00 * r10 + s2y * r01 * r11 + s2z * r02 * r12
+    c_xz = s2x * r00 * r20 + s2y * r01 * r21 + s2z * r02 * r22
+    c_yy = s2x * r10 * r10 + s2y * r11 * r11 + s2z * r12 * r12
+    c_yz = s2x * r10 * r20 + s2y * r11 * r21 + s2z * r12 * r22
+    c_zz = s2x * r20 * r20 + s2y * r21 * r21 + s2z * r22 * r22
+    return jnp.stack([c_xx, c_xy, c_xz, c_yy, c_yz, c_zz], axis=-1)
 
 
 def cov3d_to_matrix(cov6: jnp.ndarray) -> jnp.ndarray:
@@ -144,12 +162,24 @@ def project_cov3d_ewa(
     t0 = j00[..., None] * W[0] + j02[..., None] * W[2]
     t1 = j11[..., None] * W[1] + j12[..., None] * W[2]
 
-    V = cov3d_to_matrix(cov6)
-    v_t0 = jnp.einsum("...ij,...j->...i", V, t0)
-    v_t1 = jnp.einsum("...ij,...j->...i", V, t1)
-    a = jnp.einsum("...i,...i->...", t0, v_t0)
-    b = jnp.einsum("...i,...i->...", t0, v_t1)
-    d = jnp.einsum("...i,...i->...", t1, v_t1)
+    # quadratic forms t_a^T V t_b over the symmetric 6-entry cov — pure
+    # elementwise VPU math (see build_cov3d for why no (N,3,3) einsums)
+    v_xx, v_xy, v_xz = cov6[..., 0], cov6[..., 1], cov6[..., 2]
+    v_yy, v_yz, v_zz = cov6[..., 3], cov6[..., 4], cov6[..., 5]
+
+    def quad(u, v):
+        return (
+            v_xx * u[..., 0] * v[..., 0]
+            + v_yy * u[..., 1] * v[..., 1]
+            + v_zz * u[..., 2] * v[..., 2]
+            + v_xy * (u[..., 0] * v[..., 1] + u[..., 1] * v[..., 0])
+            + v_xz * (u[..., 0] * v[..., 2] + u[..., 2] * v[..., 0])
+            + v_yz * (u[..., 1] * v[..., 2] + u[..., 2] * v[..., 1])
+        )
+
+    a = quad(t0, t0)
+    b = quad(t0, t1)
+    d = quad(t1, t1)
     return jnp.stack([a, b, d], axis=-1)
 
 
@@ -161,7 +191,9 @@ def conic_and_radius(
     Spec: reference ``render_tools.py:73-116`` (inverse_conv2D +
     compute_extent_and_radius — radius uses the *dilated* covariance).
 
-    Returns (conic (...,3), radius (...,), valid (...,), opacity_scale (...,)).
+    Returns (conic (...,3), radius (...,), valid (...,), opacity_scale (...,),
+    lam_max (...,) — the dilated covariance's larger eigenvalue, used by the
+    opacity-aware binning radius).
     """
     a, b, d = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
     det_raw = a * d - b * b
@@ -181,7 +213,30 @@ def conic_and_radius(
     sqrt_term = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
     lam_max = mid + sqrt_term  # sqrt_term >= 0 so this is the larger root
     radius = jnp.ceil(RADIUS_FACTOR * jnp.sqrt(lam_max))
-    return conic, radius, valid, opacity_scale
+    return conic, radius, valid, opacity_scale, lam_max
+
+
+def tight_radius(
+    opacity: jnp.ndarray, lam_max: jnp.ndarray, alpha_threshold: float
+) -> jnp.ndarray:
+    """Exact support radius of a splat's rendered contribution.
+
+    The compositor zeroes every pixel with alpha = op * exp(-q/2) <=
+    ``alpha_threshold`` (reference rasterize.py:193/223), and the Mahalanobis
+    form q >= |d|^2 / lam_max, so pixels farther than
+    sqrt(2 ln(op/threshold) * lam_max) contribute *exactly zero* color and
+    gradient. Binning with min(this, 3-sigma) therefore drops only
+    all-zero (splat, tile) pairs — image- and gradient-exact — while
+    shrinking the pair count (and with it the adaptive pair budget that every
+    per-pair binning stage scales with). Low-opacity splats (op <= threshold)
+    collapse to radius 0: they render as exact zeros everywhere.
+
+    The +1 margin covers ``tile_rect``'s trunc arithmetic (reference
+    render_tools.py:134-139), whose excluded tiles only guarantee pixel
+    distance > r - 1, plus f32 rounding of the kill test near the threshold.
+    """
+    log_ratio = jnp.log(jnp.maximum(opacity / alpha_threshold, 1.0))
+    return jnp.ceil(jnp.sqrt(2.0 * log_ratio * lam_max)) + 1.0
 
 
 def tile_rect(

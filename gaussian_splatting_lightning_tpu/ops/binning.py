@@ -86,7 +86,7 @@ def build_tile_bins(
         grid_y_local = grid_y
     n_tiles = grid_x * grid_y_local
 
-    x0, y0g, x1, y1g = tf.tile_rect(prep.p_pix, prep.radius, grid_x, grid_y)
+    x0, y0g, x1, y1g = tf.tile_rect(prep.p_pix, prep.radius_bin, grid_x, grid_y)
     y0 = jnp.clip(y0g - tile_y_offset, 0, grid_y_local)
     y1 = jnp.clip(y1g - tile_y_offset, 0, grid_y_local)
     nx = jnp.maximum(x1 - x0, 0)
@@ -181,7 +181,7 @@ def build_aligned_bins(
         grid_y_local = grid_y
     n_tiles = grid_x * grid_y_local
 
-    x0, y0g, x1, y1g = tf.tile_rect(prep.p_pix, prep.radius, grid_x, grid_y)
+    x0, y0g, x1, y1g = tf.tile_rect(prep.p_pix, prep.radius_bin, grid_x, grid_y)
     y0 = jnp.clip(y0g - tile_y_offset, 0, grid_y_local)
     y1 = jnp.clip(y1g - tile_y_offset, 0, grid_y_local)
     nx = jnp.maximum(x1 - x0, 0)
@@ -286,15 +286,15 @@ def build_aligned_bins(
         .set(gauss_s.reshape(-1), mode="drop")
     )
     valid = gidx >= 0
-    # slot -> aligned-slot map (scalar scatter): lets the backward pass
-    # gather per-pair cotangents back into expansion order, where each
-    # splat's pairs are CONTIGUOUS ([offsets_i, offsets_i + ntiles_i)) and a
-    # Pallas segment-reduce replaces XLA's serialized scatter-add.
-    dst_of_slot = (
-        jnp.full(max_pairs, m_pad, jnp.int32)
-        .at[slot_s.reshape(-1)]
-        .set(dst, mode="drop")
-    )
+    # dst/slot_s (both in sorted-block order) give the backward pass its
+    # aligned->expansion routing: gather cotangents by ``dst`` (ascending
+    # within each block — pad_start is monotone in tile id, so the gather has
+    # near-sequential HBM locality) and scatter by ``slot_s`` into expansion
+    # order, where each splat's pairs are CONTIGUOUS
+    # ([offsets_i, offsets_i + ntiles_i)) and a Pallas segment-reduce replaces
+    # XLA's serialized scatter-add. (A single direct gather by the composed
+    # slot->dst map cost ~100 ms at 4M pairs — its indices jump across the
+    # whole aligned array, defeating HBM read locality.)
 
     return (
         gidx,
@@ -305,7 +305,8 @@ def build_aligned_bins(
         tile_count,
         total,
         jnp.maximum(total - max_pairs, 0),
-        dst_of_slot,
+        dst,
+        slot_s.reshape(-1),
         offsets,
     )
 

@@ -38,6 +38,8 @@ class Preprocessed:
     opacity: jnp.ndarray  # (N,) post antialias-scaling
     radius: jnp.ndarray  # (N,) 3-sigma pixel radius; 0 where not visible
     visible: jnp.ndarray  # (N,) bool: in frustum & invertible cov & alive
+    radius_bin: jnp.ndarray  # (N,) binning radius = min(radius, exact
+    # opacity-aware support radius); pairs beyond it are exact zeros
 
 
 def preprocess(
@@ -74,9 +76,15 @@ def preprocess(
         means3d, cov6, camera.viewmatrix, focal_x, focal_y,
         camera.tanfovx, camera.tanfovy,
     )
-    conic, radius, valid, opacity_scale = tf.conic_and_radius(cov2d, antialias)
+    conic, radius, valid, opacity_scale, lam_max = tf.conic_and_radius(
+        cov2d, antialias
+    )
     visible = visible & valid
     radius = jnp.where(visible, radius, 0.0)
+    opacity = opacities * opacity_scale
+    radius_bin = jnp.minimum(
+        radius, tf.tight_radius(opacity, lam_max, ALPHA_THRESHOLD)
+    )
 
     rgb = sh_lib.sh_to_rgb(sh, means3d, camera.campos, sh_degree, max_sh_degree)
     p_pix = tf.ndc_to_pix(p_ndc, width, height)
@@ -85,9 +93,10 @@ def preprocess(
         depth=p_view[..., 2],
         conic=conic,
         rgb=rgb,
-        opacity=opacities * opacity_scale,
+        opacity=opacity,
         radius=radius,
         visible=visible,
+        radius_bin=radius_bin,
     )
 
 

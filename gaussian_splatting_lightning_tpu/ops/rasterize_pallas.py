@@ -272,21 +272,47 @@ def _bwd_kernel(
             axis=0,
         )  # (NFEAT, 128)
 
-        # write this chunk's pair grads to its (exclusively owned) HBM block
-        dbuf[0] = grad
-        out_dma = pltpu.make_async_copy(
-            dbuf.at[0],
-            dfeats_hbm.at[:, pl.ds((cstart + ci) * CHUNK, CHUNK)],
-            dsem.at[0],
-        )
-        out_dma.start()
-        out_dma.wait()
+        # write this chunk's pair grads to its (exclusively owned) HBM block.
+        # Double-buffered: only wait for the DMA that used this slot two
+        # chunks ago (a blocking wait per chunk serialized the whole kernel
+        # on the output write — ~2x bwd kernel time).
+        oslot = jax.lax.rem(ci, 2)
+
+        def get_out_dma(slot, cj):
+            return pltpu.make_async_copy(
+                dbuf.at[slot],
+                dfeats_hbm.at[:, pl.ds((cstart + cj) * CHUNK, CHUNK)],
+                dsem.at[slot],
+            )
+
+        @pl.when(ci >= 2)
+        def _():
+            get_out_dma(oslot, ci - 2).wait()
+
+        dbuf[oslot] = grad
+        get_out_dma(oslot, ci).start()
 
         gapre[...] = gapre[...] + jnp.sum(wE, axis=1, keepdims=True)
         tcar[...] = tcar[...] * jnp.exp(jnp.sum(lw, axis=1, keepdims=True))
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    # drain in-flight output DMAs before the next grid step reuses the slots
+    def drain_dma(cj):
+        return pltpu.make_async_copy(
+            dbuf.at[jax.lax.rem(cj, 2)],
+            dfeats_hbm.at[:, pl.ds((cstart + cj) * CHUNK, CHUNK)],
+            dsem.at[jax.lax.rem(cj, 2)],
+        )
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        drain_dma(n_chunks - 1).wait()
+
+    @pl.when(n_chunks >= 2)
+    def _():
+        drain_dma(n_chunks - 2).wait()
 
 
 def _fwd_call(feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop):
@@ -334,8 +360,8 @@ def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles, interpret
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, CHUNK), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((1, NFEAT, CHUNK), feats.dtype),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((2, NFEAT, CHUNK), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((PIX, 1), feats.dtype),
             pltpu.VMEM((PIX, 1), feats.dtype),
         ],
@@ -573,20 +599,32 @@ def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
     n_pad = n_blocks * SEG_SPLATS
 
     @jax.custom_vjp
-    def gather(gfeat_t, gidx, valid, dst_of_slot, offsets, total):
+    def gather(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total):
         return jnp.take(gfeat_t, jnp.clip(gidx, 0), axis=1) * valid.astype(
             gfeat_t.dtype
         )[None, :]
 
-    def fwd(gfeat_t, gidx, valid, dst_of_slot, offsets, total):
-        out = gather(gfeat_t, gidx, valid, dst_of_slot, offsets, total)
-        return out, (gidx, valid, dst_of_slot, offsets, total)
+    def fwd(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total):
+        out = gather(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets,
+                     total)
+        return out, (gidx, valid, dst_sorted, slot_sorted, offsets, total)
 
     def bwd(res, ct):
-        gidx, valid, dst_of_slot, offsets, total = res
-        max_pairs = dst_of_slot.shape[0]
+        gidx, valid, dst_sorted, slot_sorted, offsets, total = res
+        max_pairs = dst_sorted.shape[0]
         dcols_t = ct * valid.astype(ct.dtype)[None, :]  # (NFEAT, m_pad)
-        # to expansion-slot order; lanes of invalid slots are masked in-kernel
+        # aligned -> expansion-slot order, where each splat's pairs are
+        # contiguous and the Pallas segment-reduce replaces XLA's serialized
+        # scatter-add. Routing measurements at 4M pairs on v5e: the int32
+        # slot->dst map scatter (~23 ms) + one 16-row lane gather (~100 ms,
+        # random-locality indices) beats gather-by-dst + 16-row lane scatter
+        # (~450 ms: TPU lane-scatters serialize per element and do not
+        # amortize sublanes the way gathers do).
+        dst_of_slot = (
+            jnp.full(max_pairs, m_pad, jnp.int32)
+            .at[slot_sorted]
+            .set(dst_sorted, mode="drop")
+        )
         dslot = jnp.take(
             dcols_t, jnp.clip(dst_of_slot, 0, m_pad - 1), axis=1
         )
@@ -619,7 +657,8 @@ def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
             dtable,
             np.zeros(gidx.shape, f0),
             np.zeros(valid.shape, f0),
-            np.zeros(dst_of_slot.shape, f0),
+            np.zeros(dst_sorted.shape, f0),
+            np.zeros(slot_sorted.shape, f0),
             np.zeros(offsets.shape, f0),
             np.zeros(total.shape, f0),
         )
@@ -664,9 +703,11 @@ def rasterize_pallas(
     m_pad = max_pairs + CHUNK * n_tiles
     m_pad = ((m_pad + CHUNK - 1) // CHUNK) * CHUNK
     (gidx, order, valid, cstart, nchunk, tile_count, num_pairs,
-     num_dropped, dst_of_slot, slot_offsets) = binning.build_aligned_bins(
-        prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
-        sort_block,
+     num_dropped, dst_sorted, slot_sorted, slot_offsets) = (
+        binning.build_aligned_bins(
+            prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
+            sort_block,
+        )
     )
     # Packed per-splat feature rows in depth order (gidx indexes depth
     # space), then ONE contiguous row gather per pair; both the permutation
@@ -687,7 +728,7 @@ def rasterize_pallas(
     gfeat_t = _permute_cols(gfeat_t, order, jnp.argsort(order))
     pair_gather = make_pair_gather(gfeat_t.shape[1], m_pad, interpret)
     feats = pair_gather(
-        gfeat_t, gidx, valid, dst_of_slot, slot_offsets,
+        gfeat_t, gidx, valid, dst_sorted, slot_sorted, slot_offsets,
         jnp.asarray(num_pairs, jnp.int32),
     )  # (NFEAT, m_pad)
 

@@ -113,7 +113,7 @@ def test_cov2d_conic_radius_match_reference(ref_tools):
     np.testing.assert_allclose(cov2d_full[:, 1], ref_c[:, 0, 1], rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(cov2d_full[:, 2], ref_c[:, 1, 1], rtol=1e-4, atol=1e-4)
 
-    conic, radius, valid, _ = tf.conic_and_radius(cov2d)
+    conic, radius, valid, _, _ = tf.conic_and_radius(cov2d)
     conic = np.asarray(conic)
     inv_ref = inv_ref.numpy()
     np.testing.assert_allclose(conic[:, 0], inv_ref[:, 0, 0], rtol=2e-4, atol=2e-4)
@@ -135,7 +135,7 @@ def test_antialias_opacity_scaling_matches_reference(ref_tools):
     cov_t[:, 0, 0], cov_t[:, 0, 1] = torch.from_numpy(cov[:, 0]), torch.from_numpy(cov[:, 1])
     cov_t[:, 1, 0], cov_t[:, 1, 1] = torch.from_numpy(cov[:, 1]), torch.from_numpy(cov[:, 2])
     _, _, hscale_ref = ref_tools.inverse_conv2D(cov_t, antialias=True)
-    _, _, _, hscale = tf.conic_and_radius(jnp.asarray(cov), antialias=True)
+    _, _, _, hscale, _ = tf.conic_and_radius(jnp.asarray(cov), antialias=True)
     np.testing.assert_allclose(np.asarray(hscale), hscale_ref.numpy(), rtol=1e-5)
 
 
