@@ -27,9 +27,12 @@ graceful degradation, with the drop count reported for logging (the
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from gaussian_splatting_lightning_tpu.core import transforms as tf
 from gaussian_splatting_lightning_tpu.ops.common import BLOCK_X, BLOCK_Y, Preprocessed
@@ -144,6 +147,184 @@ def build_tile_bins(
     )
 
 
+# --- Pallas counting-sort kernels ------------------------------------------
+#
+# After the blocked sort, XLA's remaining counting-sort stages cost ~95 ms at
+# 4.7M pairs on v5e: the per-(block, tile) histogram lowers to a scatter-add
+# (~41 ms), the per-pair base lookup to a serialized gather (~48 ms), plus the
+# run-start cummax for ranks. Block-sorted keys cluster: the keys of one
+# 128-key chunk almost always fall inside one 256-wide tile window, so a
+# (128, 256) one-hot turns histogram/rank/base-lookup into VPU compares and
+# tiny MXU matmuls. A persistent VMEM running histogram carried across the
+# (sequential) TPU grid replaces the cross-block prefix sums outright: the
+# destination of a pair is pad_start[tile] + (pairs of this tile seen so
+# far), accumulated in depth order.
+
+HIST_CHUNK = 128  # keys per inner step
+HIST_WIN = 256  # one-hot window width (2 x 128 lanes)
+
+
+def _win_onehot_halves(keys, w_lo):
+    """(128, 1) int keys vs window [w_lo, w_lo + 256) as two (128, 128)
+    one-hot halves — all shapes stay lane-native (Mosaic cannot shape-cast a
+    256-lane row into (2, 128))."""
+    cols = w_lo + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    oh0 = (keys == cols).astype(jnp.float32)
+    oh1 = (keys == cols + 128).astype(jnp.float32)
+    return oh0, oh1
+
+
+def _hist_kernel(keys_ref, out_ref, *, n_chunks):
+    """Per-block tile histogram over block-sorted keys.
+
+    keys_ref: (1, n_chunks, 128) int32 sorted ascending within the block.
+    out_ref: (1, n_rows, 128) int32 — counts laid out tile t -> (t//128, t%128).
+    """
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def chunk_body(c, _):
+        keys = keys_ref[0, c].reshape(HIST_CHUNK, 1)
+
+        # walk the chunk in 256-wide key windows; w_end (the exclusive end of
+        # the processed key range) is always a multiple of 128, so the next
+        # window's floor-aligned start never re-covers processed keys
+        def cond(w_end):
+            return jnp.any(keys >= w_end)
+
+        def body(w_end):
+            k0 = jnp.min(jnp.where(keys >= w_end, keys, jnp.int32(1 << 30)))
+            w_row = k0 // 128
+            oh0, oh1 = _win_onehot_halves(keys, w_row * 128)
+            out_ref[0, pl.ds(w_row, 1), :] += jnp.sum(
+                oh0, axis=0, keepdims=True
+            ).astype(jnp.int32)
+            out_ref[0, pl.ds(w_row + 1, 1), :] += jnp.sum(
+                oh1, axis=0, keepdims=True
+            ).astype(jnp.int32)
+            return w_row * 128 + HIST_WIN
+
+        jax.lax.while_loop(cond, body, jnp.int32(0))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def _dst_kernel(keys_ref, base_ref, out_ref, runhist, *, n_chunks):
+    """Aligned destination of every block-sorted pair.
+
+    dst = base[tile] + (same-tile pairs seen in earlier blocks/chunks, from
+    the persistent running histogram) + (rank among same-tile keys within
+    this chunk, via a strictly-lower-triangular MXU matmul). All lookups are
+    one-hot matmuls against the 256-wide key window; values stay exact in
+    f32 (< 2^24).
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        runhist[...] = jnp.zeros_like(runhist)
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (HIST_CHUNK, HIST_CHUNK), 0)
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (HIST_CHUNK, HIST_CHUNK), 1)
+    L = (r > c_).astype(jnp.bfloat16)  # strictly lower: earlier rows count
+
+    def chunk_body(c, _):
+        keys = keys_ref[0, c].reshape(HIST_CHUNK, 1)
+
+        def cond(state):
+            return jnp.any(keys >= state[0])
+
+        def body(state):
+            w_end, acc = state
+            k0 = jnp.min(jnp.where(keys >= w_end, keys, jnp.int32(1 << 30)))
+            w_row = k0 // 128
+            oh0, oh1 = _win_onehot_halves(keys, w_row * 128)
+
+            # one-hot gather from a (1, 128) table row: broadcast multiply +
+            # row sum (VPU; dot_general here trips Mosaic's accumulator rule)
+            def lane_gather(oh, table_row):
+                return jnp.sum(oh * table_row, axis=1, keepdims=True)
+
+            def half(oh, row):
+                base_g = lane_gather(oh, base_ref[pl.ds(row, 1), :])
+                run_g = lane_gather(oh, runhist[pl.ds(row, 1), :])
+                lower = jax.lax.dot_general(
+                    L, oh.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (128, 128): same-key rows above within the chunk
+                rank = jnp.sum(lower * oh, axis=1, keepdims=True)
+                runhist[pl.ds(row, 1), :] += jnp.sum(oh, axis=0, keepdims=True)
+                return base_g + run_g + rank
+
+            acc = acc + half(oh0, w_row) + half(oh1, w_row + 1)
+            return w_row * 128 + HIST_WIN, acc
+
+        _, acc = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((HIST_CHUNK, 1), jnp.float32)),
+        )
+        out_ref[0, c, :] = acc.reshape(HIST_CHUNK).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def table_rows(n_tiles: int) -> int:
+    """VMEM table rows: tiles (+1 invalid id) plus window overhang padding
+    so windows never need clamping."""
+    return (n_tiles + 1 + 127) // 128 + HIST_WIN // 128
+
+
+def _hist_call(keys_s, n_rows, interpret):
+    """keys_s (b, SB) block-sorted -> per-block counts (b, n_rows * 128)."""
+    b, sb = keys_s.shape
+    n_chunks = sb // HIST_CHUNK
+    keys3 = keys_s.reshape(b, n_chunks, HIST_CHUNK)
+    hist = pl.pallas_call(
+        functools.partial(_hist_kernel, n_chunks=n_chunks),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_chunks, HIST_CHUNK), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows, 128), jnp.int32),
+        interpret=interpret,
+    )(keys3)
+    return hist.reshape(b, -1)
+
+
+def _dst_call(keys_s, base_table, interpret):
+    """keys_s (b, SB), base_table (n_rows * 128,) f32 -> dst (b * SB,)."""
+    b, sb = keys_s.shape
+    n_chunks = sb // HIST_CHUNK
+    n_rows = base_table.shape[0] // 128
+    keys3 = keys_s.reshape(b, n_chunks, HIST_CHUNK)
+    dst = pl.pallas_call(
+        functools.partial(_dst_kernel, n_chunks=n_chunks),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_chunks, HIST_CHUNK), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_chunks, HIST_CHUNK), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, HIST_CHUNK), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_rows, 128), jnp.float32)],
+        interpret=interpret,
+    )(keys3, base_table.reshape(n_rows, 128))
+    return dst.reshape(-1)
+
+
 def build_aligned_bins(
     prep: Preprocessed,
     grid_x: int,
@@ -153,6 +334,8 @@ def build_aligned_bins(
     tile_y_offset=0,
     grid_y_local: int | None = None,
     sort_block: int = 2048,
+    pallas_hist_dst: bool = True,
+    interpret: bool = False,
 ):
     """Fused binning for the Pallas path: expansion -> *blocked* counting
     sort -> direct scatter into the chunk-aligned pair layout.
@@ -245,41 +428,60 @@ def build_aligned_bins(
         (keys_b, gauss_b, slot_b), dimension=1, num_keys=1, is_stable=True
     )
 
-    # (3a) rank within (block, tile): distance from the run start
-    idx = jax.lax.broadcasted_iota(jnp.int32, (b, sort_block), 1)
-    is_start = jnp.concatenate(
-        [
-            jnp.ones((b, 1), bool),
-            keys_s[:, 1:] != keys_s[:, :-1],
-        ],
-        axis=1,
-    )
-    run_start = jax.lax.cummax(jnp.where(is_start, idx, -1), axis=1)
-    rank = idx - run_start
+    # the kernels compute destinations via f32 one-hot matmuls, exact only
+    # below 2^24; beyond that (≈8K-image budgets) use the XLA path
+    if pallas_hist_dst and m_pad + max_pairs >= (1 << 24):
+        pallas_hist_dst = False
+    if pallas_hist_dst:
+        # (3 + 4a) Pallas counting-sort kernels (see module section above):
+        # windowed per-block histogram, then per-pair destinations from a
+        # persistent running histogram — no scatter-add, no take_along, no
+        # rank cummax.
+        n_rows = table_rows(n_tiles)
+        hist_blocks = _hist_call(keys_s, n_rows, interpret)
+        tile_count = jnp.sum(hist_blocks, axis=0)[:n_tiles]
+        padded = ((tile_count + chunk - 1) // chunk) * chunk
+        pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+        base_table = jnp.zeros(n_rows * 128, jnp.float32)
+        base_table = base_table.at[:n_tiles].set(pad_start.astype(jnp.float32))
+        base_table = base_table.at[n_tiles].set(float(m_pad))
+        dst = _dst_call(keys_s, base_table, interpret)
+    else:
+        # (3a) rank within (block, tile): distance from the run start
+        idx = jax.lax.broadcasted_iota(jnp.int32, (b, sort_block), 1)
+        is_start = jnp.concatenate(
+            [
+                jnp.ones((b, 1), bool),
+                keys_s[:, 1:] != keys_s[:, :-1],
+            ],
+            axis=1,
+        )
+        run_start = jax.lax.cummax(jnp.where(is_start, idx, -1), axis=1)
+        rank = idx - run_start
 
-    # (3b) per-(block, tile) histogram and prefixes
-    flat = keys_s + jax.lax.broadcasted_iota(
-        jnp.int32, (b, sort_block), 0
-    ) * (n_tiles + 1)
-    hist = jax.ops.segment_sum(
-        jnp.ones((b * sort_block,), jnp.int32),
-        flat.reshape(-1),
-        num_segments=b * (n_tiles + 1),
-    ).reshape(b, n_tiles + 1)
-    col_base = jnp.cumsum(hist, axis=0) - hist  # pairs of this tile above
-    tile_count = jnp.sum(hist, axis=0)[:n_tiles]
+        # (3b) per-(block, tile) histogram and prefixes
+        flat = keys_s + jax.lax.broadcasted_iota(
+            jnp.int32, (b, sort_block), 0
+        ) * (n_tiles + 1)
+        hist = jax.ops.segment_sum(
+            jnp.ones((b * sort_block,), jnp.int32),
+            flat.reshape(-1),
+            num_segments=b * (n_tiles + 1),
+        ).reshape(b, n_tiles + 1)
+        col_base = jnp.cumsum(hist, axis=0) - hist  # pairs of this tile above
+        tile_count = jnp.sum(hist, axis=0)[:n_tiles]
 
-    padded = ((tile_count + chunk - 1) // chunk) * chunk
-    pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    pad_start_ext = jnp.concatenate(
-        [pad_start, jnp.asarray([m_pad], jnp.int32)]
-    )
+        padded = ((tile_count + chunk - 1) // chunk) * chunk
+        pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+        pad_start_ext = jnp.concatenate(
+            [pad_start, jnp.asarray([m_pad], jnp.int32)]
+        )
 
-    # (4) destination + scatter. Fold the (small) aligned starts into the
-    # per-(block, tile) bases so each pair needs a single base gather.
-    combined_base = col_base + pad_start_ext[None, :]
-    dst = jnp.take_along_axis(combined_base, keys_s, axis=1) + rank
-    dst = jnp.where(keys_s < n_tiles, dst, m_pad).reshape(-1)
+        # (4) destination + scatter: fold the (small) aligned starts into
+        # the per-(block, tile) bases — a single base gather per pair.
+        combined_base = col_base + pad_start_ext[None, :]
+        dst = jnp.take_along_axis(combined_base, keys_s, axis=1) + rank
+        dst = jnp.where(keys_s < n_tiles, dst, m_pad).reshape(-1)
     gidx = (
         jnp.full(m_pad, -1, jnp.int32)
         .at[dst]

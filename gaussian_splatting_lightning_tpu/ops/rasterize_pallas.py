@@ -706,7 +706,7 @@ def rasterize_pallas(
      num_dropped, dst_sorted, slot_sorted, slot_offsets) = (
         binning.build_aligned_bins(
             prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
-            sort_block,
+            sort_block, interpret=interpret,
         )
     )
     # Packed per-splat feature rows in depth order (gidx indexes depth

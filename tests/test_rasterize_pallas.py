@@ -190,3 +190,63 @@ def test_pallas_backward_odd_sizes_and_overflow(setup, n, budget):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-5, err_msg=name)
+
+
+def test_hist_dst_kernels_match_xla_counting_sort():
+    """The windowed Pallas histogram/destination kernels (binning.py) must
+    reproduce the XLA counting-sort stages exactly: same per-tile counts and
+    the same aligned destination for every sorted pair."""
+    from gaussian_splatting_lightning_tpu.ops import binning
+
+    rng = np.random.default_rng(7)
+    n_tiles = 37  # odd, < 128: exercises window clipping at the table edge
+    b, sb = 3, 512
+    max_pairs = b * sb
+    # mix: clustered keys (sorted blocks), sparse jumps, invalid tail
+    keys = rng.integers(0, n_tiles, size=(b, sb)).astype(np.int32)
+    keys[0, -50:] = n_tiles  # invalid padding
+    keys[1, :10] = 0
+    keys[2, :] = np.clip(keys[2, :] // 7, 0, n_tiles)  # heavy duplicates
+    keys = np.sort(keys, axis=1)
+    keys_j = jnp.asarray(keys)
+    m_pad = max_pairs + 128 * n_tiles
+
+    # XLA reference stages (copied semantics from the fallback path)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (b, sb), 1)
+    is_start = jnp.concatenate(
+        [jnp.ones((b, 1), bool), keys_j[:, 1:] != keys_j[:, :-1]], axis=1
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, -1), axis=1)
+    rank = idx - run_start
+    flat = keys_j + jax.lax.broadcasted_iota(jnp.int32, (b, sb), 0) * (
+        n_tiles + 1
+    )
+    hist = jax.ops.segment_sum(
+        jnp.ones((b * sb,), jnp.int32), flat.reshape(-1),
+        num_segments=b * (n_tiles + 1),
+    ).reshape(b, n_tiles + 1)
+    col_base = jnp.cumsum(hist, axis=0) - hist
+    tile_count = jnp.sum(hist, axis=0)[:n_tiles]
+    padded = ((tile_count + 127) // 128) * 128
+    pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    pad_start_ext = jnp.concatenate([pad_start, jnp.asarray([m_pad], jnp.int32)])
+    combined = col_base + pad_start_ext[None, :]
+    dst_ref = jnp.take_along_axis(combined, keys_j, axis=1) + rank
+    dst_ref = jnp.where(keys_j < n_tiles, dst_ref, m_pad).reshape(-1)
+
+    # Pallas kernels (interpret mode on CPU)
+    n_rows = binning.table_rows(n_tiles)
+    hist_p = binning._hist_call(keys_j, n_rows, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.sum(hist_p, axis=0)[:n_tiles]), np.asarray(tile_count)
+    )
+    base_table = jnp.zeros(n_rows * 128, jnp.float32)
+    base_table = base_table.at[:n_tiles].set(pad_start.astype(jnp.float32))
+    base_table = base_table.at[n_tiles].set(float(m_pad))
+    dst_p = binning._dst_call(keys_j, base_table, interpret=True)
+    # valid pairs must match exactly; invalid (dropped) only need >= m_pad
+    valid = keys.reshape(-1) < n_tiles
+    np.testing.assert_array_equal(
+        np.asarray(dst_p)[valid], np.asarray(dst_ref)[valid]
+    )
+    assert (np.asarray(dst_p)[~valid] >= m_pad).all()
