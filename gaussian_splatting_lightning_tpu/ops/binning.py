@@ -195,12 +195,14 @@ def _hist_kernel(keys_ref, out_ref, *, n_chunks):
             k0 = jnp.min(jnp.where(keys >= w_end, keys, jnp.int32(1 << 30)))
             w_row = k0 // 128
             oh0, oh1 = _win_onehot_halves(keys, w_row * 128)
-            out_ref[0, pl.ds(w_row, 1), :] += jnp.sum(
-                oh0, axis=0, keepdims=True
-            ).astype(jnp.int32)
-            out_ref[0, pl.ds(w_row + 1, 1), :] += jnp.sum(
-                oh1, axis=0, keepdims=True
-            ).astype(jnp.int32)
+            counts = jnp.concatenate(
+                [
+                    jnp.sum(oh0, axis=0, keepdims=True),
+                    jnp.sum(oh1, axis=0, keepdims=True),
+                ],
+                axis=0,
+            ).astype(jnp.int32)  # (2, 128): one ref update per window
+            out_ref[0, pl.ds(w_row, 2), :] += counts
             return w_row * 128 + HIST_WIN
 
         jax.lax.while_loop(cond, body, jnp.int32(0))
@@ -237,24 +239,33 @@ def _dst_kernel(keys_ref, base_ref, out_ref, runhist, *, n_chunks):
             k0 = jnp.min(jnp.where(keys >= w_end, keys, jnp.int32(1 << 30)))
             w_row = k0 // 128
             oh0, oh1 = _win_onehot_halves(keys, w_row * 128)
+            base2 = base_ref[pl.ds(w_row, 2), :]  # one read per window
+            run2 = runhist[pl.ds(w_row, 2), :]
 
             # one-hot gather from a (1, 128) table row: broadcast multiply +
             # row sum (VPU; dot_general here trips Mosaic's accumulator rule)
             def lane_gather(oh, table_row):
                 return jnp.sum(oh * table_row, axis=1, keepdims=True)
 
-            def half(oh, row):
-                base_g = lane_gather(oh, base_ref[pl.ds(row, 1), :])
-                run_g = lane_gather(oh, runhist[pl.ds(row, 1), :])
+            def half(oh, h):
+                base_g = lane_gather(oh, base2[h : h + 1, :])
+                run_g = lane_gather(oh, run2[h : h + 1, :])
                 lower = jax.lax.dot_general(
                     L, oh.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (128, 128): same-key rows above within the chunk
                 rank = jnp.sum(lower * oh, axis=1, keepdims=True)
-                runhist[pl.ds(row, 1), :] += jnp.sum(oh, axis=0, keepdims=True)
                 return base_g + run_g + rank
 
-            acc = acc + half(oh0, w_row) + half(oh1, w_row + 1)
+            acc = acc + half(oh0, 0) + half(oh1, 1)
+            counts = jnp.concatenate(
+                [
+                    jnp.sum(oh0, axis=0, keepdims=True),
+                    jnp.sum(oh1, axis=0, keepdims=True),
+                ],
+                axis=0,
+            )
+            runhist[pl.ds(w_row, 2), :] = run2 + counts  # one write per window
             return w_row * 128 + HIST_WIN, acc
 
         _, acc = jax.lax.while_loop(
@@ -265,6 +276,183 @@ def _dst_kernel(keys_ref, base_ref, out_ref, runhist, *, n_chunks):
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+# --- Pallas expansion kernel -------------------------------------------------
+#
+# The run-length expansion (slot -> owning splat -> tile coordinate) was five
+# scatter-max + cummax "fills" plus their unpack arithmetic in XLA (~70 ms at
+# 4.7M slots). Because offsets are a cumsum over the live (ntiles >= 1)
+# prefix, slot owners advance by AT MOST ONE per slot — so the owners of any
+# 128-slot chunk always fit in one statically-positioned 256-splat window:
+# per chunk, two lane-native (128, 128) interval one-hots assign owners and
+# gather the per-splat fields, with zero search loops. The kernel also
+# applies the *exact* per-tile ellipse cull (pixel-center distance from the
+# tile's pixel rect vs prep.cull_r2): a culled pair's every pixel alpha is
+# below the kill threshold, so removing it changes nothing — while the
+# aligned pair layout, the feature gathers, and the compositing work all
+# shrink (rect corners are ~20% of a large splat's tiles).
+
+EXP_BLK = 4096  # slots per grid program
+EXP_TBL = 16  # f32 field rows: off0 off1 x0 nx y0 px py cull_r2 orig (7 pad)
+EXP_WIN_ROWS = (EXP_BLK + 256) // 128  # splat window rows per program
+
+
+def _expand_kernel(
+    # scalar prefetch
+    wstart_ref, scal_ref,
+    # inputs
+    tbl_hbm,
+    # outputs
+    key_ref, gauss_ref,
+    # scratch
+    win, sem,
+    *, n_chunks, grid_x, n_tiles, n_pad_rows,
+):
+    p = pl.program_id(0)
+    wstart = wstart_ref[p]
+    astart_row = jnp.minimum(wstart // 128, n_pad_rows - EXP_WIN_ROWS)
+    total = scal_ref[0]
+    tyoff16 = (scal_ref[1] * 16).astype(jnp.float32)
+
+    dma = pltpu.make_async_copy(
+        tbl_hbm.at[pl.ds(astart_row, EXP_WIN_ROWS)], win, sem
+    )
+    dma.start()
+    dma.wait()
+
+    base_slot = p * EXP_BLK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+
+    def chunk_body(c, ow):
+        s = (
+            base_slot + c * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        ).astype(jnp.float32)
+        ow_row = ow // 128
+        win2 = win[pl.ds(ow_row, 2), :, :]  # one dynamic read per chunk
+
+        def half(h, row_f):
+            off0 = win2[h, 0].reshape(1, 128)
+            off1 = win2[h, 1].reshape(1, 128)
+            oh = ((s >= off0) & (s < off1)).astype(jnp.float32)  # (128, 128)
+
+            def g(f):
+                return jnp.sum(
+                    oh * win2[h, f].reshape(1, 128), axis=1, keepdims=True
+                )  # (128, 1)
+
+            rel = jnp.sum(
+                oh * (row_f * 128.0 + lane), axis=1, keepdims=True
+            )
+            return oh, rel, g(0), g(2), g(3), g(4), g(5), g(6), g(7), g(8)
+
+        row_f = ow_row.astype(jnp.float32)
+        parts0 = half(0, row_f)
+        parts1 = half(1, row_f + 1.0)
+        oh_sum = jnp.sum(parts0[0], axis=1, keepdims=True) + jnp.sum(
+            parts1[0], axis=1, keepdims=True
+        )
+        rel, off0, x0, nx, y0, px, py, cr2, orig = (
+            a + b for a, b in zip(parts0[1:], parts1[1:])
+        )
+
+        local = s - off0
+        nx_safe = jnp.maximum(nx, 1.0)
+        row_t = jnp.floor((local + 0.5) / nx_safe)
+        tile_x = x0 + local - row_t * nx_safe
+        tile_y = y0 + row_t
+        key = tile_y * jnp.float32(grid_x) + tile_x
+
+        # exact per-tile cull: min pixel-center distance from the tile's
+        # 16x16 pixel rect (global coords) to the splat mean
+        gx0 = tile_x * 16.0
+        gy0 = tile_y * 16.0 + tyoff16
+        dx = jnp.maximum(jnp.maximum(gx0 - px, px - (gx0 + 15.0)), 0.0)
+        dy = jnp.maximum(jnp.maximum(gy0 - py, py - (gy0 + 15.0)), 0.0)
+        keep = dx * dx + dy * dy <= cr2
+
+        matched = (oh_sum > 0.0) & (s < total.astype(jnp.float32))
+        key = jnp.where(matched & keep, key, jnp.float32(n_tiles))
+        key_ref[0, c, :] = key.reshape(128).astype(jnp.int32)
+        gauss_ref[0, c, :] = orig.reshape(128).astype(jnp.int32)
+        new_ow = jnp.max(
+            jnp.where(matched, rel, ow.astype(jnp.float32))
+        ).astype(jnp.int32)
+        return jnp.maximum(ow, new_ow)
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, wstart - astart_row * 128)
+
+
+def expand_pairs_pallas(
+    offsets, ntiles_s, fields_s,
+    max_pairs, total, grid_x, n_tiles, tile_y_offset, interpret,
+):
+    """Pallas run-length pair expansion + exact per-tile cull.
+
+    ``fields_s`` is the depth-sorted (N, 7) f32 field table
+    [x0, nx, y0, px, py, cull_r2, orig_id] — one fused row gather builds it
+    (six separate [order] gathers cost ~38 ms at N=1M). Returns (key
+    (max_pairs,) int32 with n_tiles for padding/culled, gauss (max_pairs,)
+    int32 in ORIGINAL index space).
+    """
+    n = offsets.shape[0]
+    n_rows = -(-n // 128) + EXP_WIN_ROWS
+    n_pad = n_rows * 128
+    off0 = offsets.astype(jnp.float32)
+    off1 = (offsets + ntiles_s).astype(jnp.float32)
+
+    tbl = jnp.concatenate(
+        [off0[:, None], off1[:, None], fields_s,
+         jnp.zeros((n, EXP_TBL - 9), jnp.float32)],
+        axis=1,
+    )
+    tbl = jnp.pad(tbl, ((0, n_pad - n), (0, 0)))  # (n_pad, 16)
+    tbl3 = tbl.reshape(n_rows, 128, EXP_TBL).transpose(0, 2, 1)
+
+    n_blocks = -(-max_pairs // EXP_BLK)  # overhang slots computed, sliced off
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * EXP_BLK
+    wstart = jnp.clip(
+        jnp.searchsorted(offsets, starts, side="right").astype(jnp.int32) - 1,
+        0, n - 1,
+    )
+    scal = jnp.stack(
+        [jnp.asarray(total, jnp.int32),
+         jnp.asarray(tile_y_offset, jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec(
+                (1, EXP_BLK // 128, 128), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, EXP_BLK // 128, 128), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((EXP_WIN_ROWS, EXP_TBL, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    key3, gauss3 = pl.pallas_call(
+        functools.partial(
+            _expand_kernel, n_chunks=EXP_BLK // 128, grid_x=grid_x,
+            n_tiles=n_tiles, n_pad_rows=n_rows,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, EXP_BLK // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, EXP_BLK // 128, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(wstart, scal, tbl3)
+    return key3.reshape(-1)[:max_pairs], gauss3.reshape(-1)[:max_pairs]
 
 
 def table_rows(n_tiles: int) -> int:
@@ -354,9 +542,11 @@ def build_aligned_bins(
       4. one scatter lands (gaussian id, valid) straight into the aligned
          slots consumed by the kernels. No intermediate tile-sorted arrays.
 
-    Returns (gidx (m_pad,) in *depth-sorted index space*, order (N,) the
-    depth permutation (original = order[gidx]), valid (m_pad,), cstart (T,),
-    nchunk (T,), tile_count (T,), num_pairs, num_dropped).
+    Returns (gidx (m_pad,) in *original index space*, order (N,) the depth
+    permutation, valid (m_pad,), cstart (T,), nchunk (T,), tile_count (T,),
+    num_pairs, num_dropped, dst, slot_s, offsets). ``offsets`` group the
+    expansion slots by depth rank; the depth-rank-k group belongs to
+    original splat order[k].
     """
     chunk = 128  # kernel chunk alignment (rasterize_pallas.CHUNK)
     n = prep.depth.shape[0]
@@ -371,51 +561,82 @@ def build_aligned_bins(
     ny = jnp.maximum(y1 - y0, 0)
     ntiles = jnp.where(prep.visible, nx * ny, 0).astype(jnp.int32)
 
-    depth_key = jnp.where(prep.visible, prep.depth, jnp.inf)
+    # live prefix = visible splats with at least one (possibly band-clipped)
+    # tile: guarantees slot owners advance by <= 1 per slot, the invariant
+    # the Pallas expansion kernel's static windows rely on
+    depth_key = jnp.where(prep.visible & (ntiles > 0), prep.depth, jnp.inf)
     order = jnp.argsort(depth_key)
-    ntiles_s = ntiles[order]
-    x0_s, nx_s = x0[order], jnp.maximum(nx[order], 1)
-    y0_s = y0[order]
 
-    offsets = jnp.cumsum(ntiles_s) - ntiles_s
-    total = offsets[-1] + ntiles_s[-1]
-    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    use_pallas = pallas_hist_dst and m_pad + max_pairs < (1 << 24)
+    if use_pallas:
+        # one fused row gather for every per-splat field the expansion
+        # kernel needs (tile assignment carries no gradient, like the fill
+        # path whose int ops were naturally tangent-free)
+        sg = jax.lax.stop_gradient
+        f32 = jnp.float32
+        fields = jnp.stack(
+            [
+                ntiles.astype(f32), x0.astype(f32),
+                jnp.maximum(nx, 1).astype(f32), y0.astype(f32),
+                sg(prep.p_pix[:, 0]), sg(prep.p_pix[:, 1]),
+                sg(prep.cull_r2),
+                jnp.arange(n, dtype=f32),
+            ],
+            axis=1,
+        )  # (N, 8) original order
+        fields_s = fields[order]
+        ntiles_s = fields_s[:, 0].astype(jnp.int32)
+        offsets = jnp.cumsum(ntiles_s) - ntiles_s
+        total = offsets[-1] + ntiles_s[-1]
+        key, gauss = expand_pairs_pallas(
+            offsets, ntiles_s, fields_s[:, 1:],
+            max_pairs, total, grid_x, n_tiles, tile_y_offset, interpret,
+        )
+        slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    else:
+        ntiles_s = ntiles[order]
+        x0_s, nx_s = x0[order], jnp.maximum(nx[order], 1)
+        y0_s = y0[order]
 
-    # Gather-free expansion. XLA TPU gathers run at ~7 cycles/element, and
-    # the naive expansion needs four M-sized lookups (offsets/x0/nx/y0 by the
-    # owning splat). Because slot ownership is *monotone*, every lookup is a
-    # run-length broadcast: scatter the value at the run's first slot and
-    # forward-fill with a cumulative max. Non-monotone payloads are made
-    # monotone by packing them under the (monotone) owner index:
-    # packed = owner*512 + field (field < 512, i.e. tile coords of up to
-    # 8K-wide images; owner < 2^22 splats) — unpacked with the owner from
-    # the same fill. Duplicate offsets (zero-area splats) resolve to the
-    # largest owner on every fill, keeping unpacking consistent.
-    def fill(values):
-        marker = jnp.full(max_pairs, -1, jnp.int32)
-        marker = marker.at[offsets].max(values, mode="drop")
-        return jax.lax.cummax(marker)
+        offsets = jnp.cumsum(ntiles_s) - ntiles_s
+        total = offsets[-1] + ntiles_s[-1]
+        slot = jnp.arange(max_pairs, dtype=jnp.int32)
+        # Gather-free XLA expansion. TPU gathers run at ~7 cycles/element,
+        # and the naive expansion needs four M-sized lookups (offsets/x0/nx/
+        # y0 by the owning splat). Because slot ownership is *monotone*,
+        # every lookup is a run-length broadcast: scatter the value at the
+        # run's first slot and forward-fill with a cumulative max.
+        # Non-monotone payloads are made monotone by packing them under the
+        # (monotone) owner index: packed = owner*512 + field (field < 512,
+        # i.e. tile coords of up to 8K-wide images; owner < 2^22 splats) —
+        # unpacked with the owner from the same fill. Duplicate offsets
+        # (zero-area splats) resolve to the largest owner on every fill,
+        # keeping unpacking consistent.
+        def fill(values):
+            marker = jnp.full(max_pairs, -1, jnp.int32)
+            marker = marker.at[offsets].max(values, mode="drop")
+            return jax.lax.cummax(marker)
 
-    K = 512
-    idx_n = jnp.arange(n, dtype=jnp.int32)
-    g_s = jnp.clip(fill(idx_n), 0, n - 1)
-    local = slot - fill(offsets)  # value == position: monotone as-is
-    x0_g = fill(idx_n * K + x0_s) - g_s * K
-    nx_g = fill(idx_n * K + nx_s) - g_s * K
-    y0_g = fill(idx_n * K + y0_s) - g_s * K
+        K = 512
+        idx_n = jnp.arange(n, dtype=jnp.int32)
+        g_s = jnp.clip(fill(idx_n), 0, n - 1)
+        local = slot - fill(offsets)  # value == position: monotone as-is
+        x0_g = fill(idx_n * K + x0_s) - g_s * K
+        nx_g = fill(idx_n * K + nx_s) - g_s * K
+        y0_g = fill(idx_n * K + y0_s) - g_s * K
 
-    nx_f = nx_g.astype(prep.p_pix.dtype)
-    row = jnp.floor(
-        (local.astype(prep.p_pix.dtype) + 0.5) / nx_f
-    ).astype(jnp.int32)
-    tile_x = x0_g + local - row * nx_g
-    tile_y = y0_g + row
-    valid0 = slot < jnp.minimum(total, max_pairs)
-    key = jnp.where(
-        valid0, tile_y * grid_x + tile_x, n_tiles
-    ).astype(jnp.int32)
-    # payload stays in depth-index space; callers translate via ``order``
-    gauss = g_s
+        nx_f = nx_g.astype(prep.p_pix.dtype)
+        row = jnp.floor(
+            (local.astype(prep.p_pix.dtype) + 0.5) / nx_f
+        ).astype(jnp.int32)
+        tile_x = x0_g + local - row * nx_g
+        tile_y = y0_g + row
+        valid0 = slot < jnp.minimum(total, max_pairs)
+        key = jnp.where(
+            valid0, tile_y * grid_x + tile_x, n_tiles
+        ).astype(jnp.int32)
+        # translate to original index space (matches the Pallas branch)
+        gauss = order.astype(jnp.int32)[g_s]
 
     # (2) blocked stable sort by tile key; payloads: gaussian id + the
     # expansion slot id (the latter gives the slot -> aligned-slot map the
@@ -428,11 +649,7 @@ def build_aligned_bins(
         (keys_b, gauss_b, slot_b), dimension=1, num_keys=1, is_stable=True
     )
 
-    # the kernels compute destinations via f32 one-hot matmuls, exact only
-    # below 2^24; beyond that (≈8K-image budgets) use the XLA path
-    if pallas_hist_dst and m_pad + max_pairs >= (1 << 24):
-        pallas_hist_dst = False
-    if pallas_hist_dst:
+    if use_pallas:
         # (3 + 4a) Pallas counting-sort kernels (see module section above):
         # windowed per-block histogram, then per-pair destinations from a
         # persistent running histogram — no scatter-add, no take_along, no

@@ -40,6 +40,8 @@ class Preprocessed:
     visible: jnp.ndarray  # (N,) bool: in frustum & invertible cov & alive
     radius_bin: jnp.ndarray  # (N,) binning radius = min(radius, exact
     # opacity-aware support radius); pairs beyond it are exact zeros
+    cull_r2: jnp.ndarray  # (N,) squared pixel distance beyond which every
+    # pixel's alpha is provably below the kill threshold (per-tile cull)
 
 
 def preprocess(
@@ -85,6 +87,12 @@ def preprocess(
     radius_bin = jnp.minimum(
         radius, tf.tight_radius(opacity, lam_max, ALPHA_THRESHOLD)
     )
+    # per-tile cull bound (ops/binning.py expansion kernel): pixels at
+    # squared distance > cull_r2 have alpha = op*exp(-q/2) < 1/255 since
+    # q >= d^2/lam_max (Rayleigh bound on the conic) — small multiplicative
+    # + absolute margin swallows f32 noise in the compositor's kill test
+    log_ratio = jnp.log(jnp.maximum(opacity / ALPHA_THRESHOLD, 1.0))
+    cull_r2 = 2.0 * log_ratio * lam_max * 1.001 + 0.25
 
     rgb = sh_lib.sh_to_rgb(sh, means3d, camera.campos, sh_degree, max_sh_degree)
     p_pix = tf.ndc_to_pix(p_ndc, width, height)
@@ -97,6 +105,7 @@ def preprocess(
         radius=radius,
         visible=visible,
         radius_bin=radius_bin,
+        cull_r2=cull_r2,
     )
 
 

@@ -187,7 +187,6 @@ def _bwd_kernel(
         ox_ref[t].astype(dtype), oy_ref[t].astype(dtype), dtype
     )
     U = _strict_upper(dtype)
-    U_incl = U + jnp.eye(CHUNK, dtype=dtype)
     cstart = cstart_ref[t]
     n_chunks = nchunk_ref[t]
 
@@ -232,9 +231,10 @@ def _bwd_kernel(
         rgbz = chunk[F_R : F_R + 4, :]  # (4, 128)
         E = jnp.dot(G, rgbz, preferred_element_type=dtype)  # (256, 128)
         wE = w * E
+        # inclusive prefix = exclusive prefix + self: reuse the U matmul
         prefix_incl = gapre[...] + jnp.dot(
-            wE, U_incl, preferred_element_type=dtype
-        )
+            wE, U, preferred_element_type=dtype
+        ) + wE
         suffix = g_total - prefix_incl  # G . (suffix colors + Tfin*bg)
         one_m = 1.0 - alpha
         has_grad = alpha > 0.0  # thresholded alphas detach entirely
@@ -590,27 +590,33 @@ def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
     """feats = gfeat_T[:, gidx] * valid with a Pallas segment-reduce VJP.
 
     Everything is feature-major (16, ...): the forward is a lane gather from
-    the (16, N) depth-sorted splat table, the kernels consume 128-aligned
-    lane windows, and the VJP gathers pair cotangents into expansion-slot
-    order (where each splat's pairs are contiguous) and reduces them with
-    _segreduce_kernel — no layout transposes anywhere on the pair path.
+    the (16, N) original-order splat table (gidx carries original ids), the
+    kernels consume 128-aligned lane windows, and the VJP gathers pair
+    cotangents into expansion-slot order (where each DEPTH-RANKED splat's
+    pairs are contiguous), reduces them with _segreduce_kernel, and maps the
+    depth-ranked sums back to original order with one permutation gather —
+    no layout transposes anywhere on the pair path.
     """
     n_blocks = -(-n // SEG_SPLATS)
     n_pad = n_blocks * SEG_SPLATS
 
     @jax.custom_vjp
-    def gather(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total):
+    def gather(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total,
+               inv_order):
         return jnp.take(gfeat_t, jnp.clip(gidx, 0), axis=1) * valid.astype(
             gfeat_t.dtype
         )[None, :]
 
-    def fwd(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total):
+    def fwd(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total,
+            inv_order):
         out = gather(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets,
-                     total)
-        return out, (gidx, valid, dst_sorted, slot_sorted, offsets, total)
+                     total, inv_order)
+        return out, (gidx, valid, dst_sorted, slot_sorted, offsets, total,
+                     inv_order)
 
     def bwd(res, ct):
-        gidx, valid, dst_sorted, slot_sorted, offsets, total = res
+        (gidx, valid, dst_sorted, slot_sorted, offsets, total,
+         inv_order) = res
         max_pairs = dst_sorted.shape[0]
         dcols_t = ct * valid.astype(ct.dtype)[None, :]  # (NFEAT, m_pad)
         # aligned -> expansion-slot order, where each splat's pairs are
@@ -651,7 +657,9 @@ def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
             dslot, counts2d, pstart, pchunks.astype(jnp.int32), total_arr,
             interpret,
         )  # (n_blocks, NFEAT, 128)
-        dtable = out.transpose(1, 0, 2).reshape(NFEAT, n_pad)[:, :n]
+        dtable = out.transpose(1, 0, 2).reshape(NFEAT, n_pad)
+        # depth-rank k sums -> original splat order[k]
+        dtable = jnp.take(dtable, inv_order, axis=1)
         f0 = jax.dtypes.float0
         return (
             dtable,
@@ -661,6 +669,7 @@ def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
             np.zeros(slot_sorted.shape, f0),
             np.zeros(offsets.shape, f0),
             np.zeros(total.shape, f0),
+            np.zeros(inv_order.shape, f0),
         )
 
     gather.defvjp(fwd, bwd)
@@ -709,10 +718,10 @@ def rasterize_pallas(
             sort_block, interpret=interpret,
         )
     )
-    # Packed per-splat feature rows in depth order (gidx indexes depth
-    # space), then ONE contiguous row gather per pair; both the permutation
-    # and the pair gather carry custom VJPs (gather/segment-reduce) instead
-    # of XLA's serialized scatter-adds.
+    # Packed per-splat feature rows (original order — gidx carries original
+    # ids), then ONE contiguous row gather per pair; the pair gather carries
+    # a custom VJP (segment-reduce over depth-grouped slots) instead of
+    # XLA's serialized scatter-adds.
     zeros_n = jnp.zeros_like(prep.depth)
     gfeat_t = jnp.stack(
         [
@@ -725,11 +734,10 @@ def rasterize_pallas(
         ],
         axis=0,
     )  # (NFEAT, N), feature-major from the start: no transposes on this path
-    gfeat_t = _permute_cols(gfeat_t, order, jnp.argsort(order))
     pair_gather = make_pair_gather(gfeat_t.shape[1], m_pad, interpret)
     feats = pair_gather(
         gfeat_t, gidx, valid, dst_sorted, slot_sorted, slot_offsets,
-        jnp.asarray(num_pairs, jnp.int32),
+        jnp.asarray(num_pairs, jnp.int32), jnp.argsort(order),
     )  # (NFEAT, m_pad)
 
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)

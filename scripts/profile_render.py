@@ -84,6 +84,7 @@ def main():
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }
     byname = collections.Counter()
+    meta = {}
     total = 0.0
     for e in events:
         if e.get("ph") == "X" and "dur" in e:
@@ -94,10 +95,19 @@ def main():
                     total += e["dur"]
                 else:
                     byname[e["name"]] += e["dur"]
+                    if e["name"] not in meta and "args" in e:
+                        a = e["args"]
+                        src = a.get("source", "")
+                        tf_op = a.get("tf_op", "")
+                        shape = ""
+                        ln = a.get("long_name", "")
+                        if "=" in ln:
+                            shape = ln.split("=", 2)[1].strip().split(" ")[0]
+                        meta[e["name"]] = f"{shape} {tf_op} {src}"
     print(f"total device time: {total / args.iters / 1e3:.2f} ms/iter")
     print(f"{'us/iter':>10}  op")
     for name, d in byname.most_common(args.top):
-        print(f"{d / args.iters:10.0f}  {name[:100]}")
+        print(f"{d / args.iters:10.0f}  {name[:24]:<24} {meta.get(name, '')[:130]}")
 
 
 if __name__ == "__main__":

@@ -250,3 +250,65 @@ def test_hist_dst_kernels_match_xla_counting_sort():
         np.asarray(dst_p)[valid], np.asarray(dst_ref)[valid]
     )
     assert (np.asarray(dst_p)[~valid] >= m_pad).all()
+
+
+def test_expand_kernel_matches_xla_fills():
+    """The Pallas expansion kernel must reproduce the XLA fill-based
+    expansion exactly when the per-tile cull is disabled (cull_r2 = inf)."""
+    from gaussian_splatting_lightning_tpu.ops import binning
+
+    rng = np.random.default_rng(3)
+    n, grid_x, grid_y = 300, 7, 5
+    n_tiles = grid_x * grid_y
+    # random clipped rects, ~25% empty (dead tail after the live-prefix sort)
+    x0 = rng.integers(0, grid_x, n).astype(np.int32)
+    nx = rng.integers(0, 4, n).astype(np.int32)
+    nx = np.minimum(nx, grid_x - x0)
+    y0 = rng.integers(0, grid_y, n).astype(np.int32)
+    ny = np.minimum(rng.integers(0, 4, n).astype(np.int32), grid_y - y0)
+    ntiles = (nx * ny).astype(np.int32)
+    # emulate the live-prefix depth sort: nonzero ntiles first
+    live = np.argsort(ntiles == 0, kind="stable")
+    x0, nx, y0, ntiles = x0[live], nx[live], y0[live], ntiles[live]
+    nx_safe = np.maximum(nx, 1)
+    offsets = np.cumsum(ntiles) - ntiles
+    total = int(offsets[-1] + ntiles[-1])
+    max_pairs = ((total + 100) // 128) * 128  # not a multiple of EXP_BLK
+
+    def fields(px, py, cr2):
+        return jnp.asarray(
+            np.stack(
+                [x0, nx_safe, y0, np.full(n, px), np.full(n, py),
+                 np.full(n, cr2), np.arange(n)], axis=1
+            ).astype(np.float32)
+        )
+
+    key_p, gauss_p = binning.expand_pairs_pallas(
+        jnp.asarray(offsets), jnp.asarray(ntiles), fields(3.0, 3.0, 1e30),
+        max_pairs, jnp.asarray(total), grid_x, n_tiles, 0, interpret=True,
+    )
+    # XLA reference expansion (fill semantics)
+    keys_ref = np.full(max_pairs, n_tiles, np.int32)
+    gauss_ref = np.zeros(max_pairs, np.int32)
+    for g in range(n):
+        for j in range(ntiles[g]):
+            s = offsets[g] + j
+            if s >= max_pairs:
+                break
+            r = j // nx_safe[g]
+            keys_ref[s] = (y0[g] + r) * grid_x + (x0[g] + j - r * nx_safe[g])
+            gauss_ref[s] = g
+    valid = keys_ref < n_tiles
+    np.testing.assert_array_equal(np.asarray(key_p)[valid], keys_ref[valid])
+    np.testing.assert_array_equal(np.asarray(gauss_p)[valid], gauss_ref[valid])
+    assert (np.asarray(key_p)[~valid] == n_tiles).all()
+
+    # a finite cull radius only turns keys into n_tiles (drops), never remaps
+    key_c, _ = binning.expand_pairs_pallas(
+        jnp.asarray(offsets), jnp.asarray(ntiles), fields(40.0, 40.0, 900.0),
+        max_pairs, jnp.asarray(total), grid_x, n_tiles, 0, interpret=True,
+    )
+    kc = np.asarray(key_c)
+    changed = kc != np.asarray(key_p)
+    assert (kc[changed] == n_tiles).all()
+    assert changed.any()  # distance-30px tiles beyond r=30 exist in this grid
