@@ -626,10 +626,11 @@ def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
         # random-locality indices) beats gather-by-dst + 16-row lane scatter
         # (~450 ms: TPU lane-scatters serialize per element and do not
         # amortize sublanes the way gathers do).
-        dst_of_slot = (
-            jnp.full(max_pairs, m_pad, jnp.int32)
-            .at[slot_sorted]
-            .set(dst_sorted, mode="drop")
+        # slot_sorted is a complete permutation of [0, max_pairs): sorting
+        # (slot, dst) by slot inverts it ~2x cheaper than XLA's scatter
+        # (which internally sorts anyway) — 13.7 vs 29.4 ms at 4.7M on v5e
+        _, dst_of_slot = jax.lax.sort(
+            (slot_sorted, dst_sorted), num_keys=1
         )
         dslot = jnp.take(
             dcols_t, jnp.clip(dst_of_slot, 0, m_pad - 1), axis=1
