@@ -66,11 +66,12 @@ def _estimate_pairs_numpy(scene, cam, w, h):
     pw = 1.0 / (ph[:, 3] + 1e-7)
     px = ((ph[:, 0] * pw + 1) * w - 1) * 0.5
     py = ((ph[:, 1] * pw + 1) * h - 1) * 0.5
-    gx, gy = -(-w // 16), -(-h // 16)
-    x0 = np.clip(np.trunc((px - radius) / 16), 0, gx)
-    x1 = np.clip(np.trunc((px + radius + 15) / 16), 0, gx)
-    y0 = np.clip(np.trunc((py - radius) / 16), 0, gy)
-    y1 = np.clip(np.trunc((py + radius + 15) / 16), 0, gy)
+    blk = 32  # TilingConfig default tile edge on the Pallas path
+    gx, gy = -(-w // blk), -(-h // blk)
+    x0 = np.clip(np.trunc((px - radius) / blk), 0, gx)
+    x1 = np.clip(np.trunc((px + radius + blk - 1) / blk), 0, gx)
+    y0 = np.clip(np.trunc((py - radius) / blk), 0, gy)
+    y1 = np.clip(np.trunc((py + radius + blk - 1) / blk), 0, gy)
     return int(np.where(visible, np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0), 0).sum())
 
 

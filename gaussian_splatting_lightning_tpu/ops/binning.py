@@ -307,13 +307,13 @@ def _expand_kernel(
     key_ref, gauss_ref,
     # scratch
     win, sem,
-    *, n_chunks, grid_x, n_tiles, n_pad_rows,
+    *, n_chunks, grid_x, n_tiles, n_pad_rows, block,
 ):
     p = pl.program_id(0)
     wstart = wstart_ref[p]
     astart_row = jnp.minimum(wstart // 128, n_pad_rows - EXP_WIN_ROWS)
     total = scal_ref[0]
-    tyoff16 = (scal_ref[1] * 16).astype(jnp.float32)
+    tyoff_px = (scal_ref[1] * block).astype(jnp.float32)
 
     dma = pltpu.make_async_copy(
         tbl_hbm.at[pl.ds(astart_row, EXP_WIN_ROWS)], win, sem
@@ -365,11 +365,16 @@ def _expand_kernel(
         key = tile_y * jnp.float32(grid_x) + tile_x
 
         # exact per-tile cull: min pixel-center distance from the tile's
-        # 16x16 pixel rect (global coords) to the splat mean
-        gx0 = tile_x * 16.0
-        gy0 = tile_y * 16.0 + tyoff16
-        dx = jnp.maximum(jnp.maximum(gx0 - px, px - (gx0 + 15.0)), 0.0)
-        dy = jnp.maximum(jnp.maximum(gy0 - py, py - (gy0 + 15.0)), 0.0)
+        # block x block pixel rect (global coords) to the splat mean
+        blk_f = jnp.float32(block)
+        gx0 = tile_x * blk_f
+        gy0 = tile_y * blk_f + tyoff_px
+        dx = jnp.maximum(
+            jnp.maximum(gx0 - px, px - (gx0 + blk_f - 1.0)), 0.0
+        )
+        dy = jnp.maximum(
+            jnp.maximum(gy0 - py, py - (gy0 + blk_f - 1.0)), 0.0
+        )
         keep = dx * dx + dy * dy <= cr2
 
         matched = (oh_sum > 0.0) & (s < total.astype(jnp.float32))
@@ -387,6 +392,7 @@ def _expand_kernel(
 def expand_pairs_pallas(
     offsets, ntiles_s, fields_s,
     max_pairs, total, grid_x, n_tiles, tile_y_offset, interpret,
+    block=BLOCK_X,
 ):
     """Pallas run-length pair expansion + exact per-tile cull.
 
@@ -443,7 +449,7 @@ def expand_pairs_pallas(
     key3, gauss3 = pl.pallas_call(
         functools.partial(
             _expand_kernel, n_chunks=EXP_BLK // 128, grid_x=grid_x,
-            n_tiles=n_tiles, n_pad_rows=n_rows,
+            n_tiles=n_tiles, n_pad_rows=n_rows, block=block,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -524,6 +530,7 @@ def build_aligned_bins(
     sort_block: int = 2048,
     pallas_hist_dst: bool = True,
     interpret: bool = False,
+    block: int = BLOCK_X,
 ):
     """Fused binning for the Pallas path: expansion -> *blocked* counting
     sort -> direct scatter into the chunk-aligned pair layout.
@@ -554,7 +561,9 @@ def build_aligned_bins(
         grid_y_local = grid_y
     n_tiles = grid_x * grid_y_local
 
-    x0, y0g, x1, y1g = tf.tile_rect(prep.p_pix, prep.radius_bin, grid_x, grid_y)
+    x0, y0g, x1, y1g = tf.tile_rect(
+        prep.p_pix, prep.radius_bin, grid_x, grid_y, block, block
+    )
     y0 = jnp.clip(y0g - tile_y_offset, 0, grid_y_local)
     y1 = jnp.clip(y1g - tile_y_offset, 0, grid_y_local)
     nx = jnp.maximum(x1 - x0, 0)
@@ -591,6 +600,7 @@ def build_aligned_bins(
         key, gauss = expand_pairs_pallas(
             offsets, ntiles_s, fields_s[:, 1:],
             max_pairs, total, grid_x, n_tiles, tile_y_offset, interpret,
+            block,
         )
         slot = jnp.arange(max_pairs, dtype=jnp.int32)
     else:
@@ -747,5 +757,8 @@ def build_tile_table(bins: TileBins, n_tiles: int, capacity: int) -> jnp.ndarray
     return table
 
 
-def grid_shape(width: int, height: int):
-    return (width + BLOCK_X - 1) // BLOCK_X, (height + BLOCK_Y - 1) // BLOCK_Y
+def grid_shape(width: int, height: int, block_x: int = BLOCK_X,
+               block_y: int = BLOCK_Y):
+    return -(-width // block_x), -(-height // block_y)
+
+

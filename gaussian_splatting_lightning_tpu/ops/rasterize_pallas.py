@@ -1,8 +1,10 @@
 """Pallas TPU compositing kernels: the performance core.
 
 TPU-native redesign of the CUDA tile renderer (reference N1's renderCUDA /
-renderBackwardCUDA): one grid program per 16x16 tile walks its depth-sorted
-pair list in 128-splat chunks held in VMEM.
+renderBackwardCUDA): one grid program per tile (32x32 px by default —
+TilingConfig.block) walks its depth-sorted pair list in 128-splat chunks held
+in VMEM. Reference membership semantics stay exactly 16px-granular via the
+per-pair rect rows (F_X0..F_Y1), so rendered values are tile-size-invariant.
 
 Key departures from the CUDA design, forced/enabled by the hardware:
 
@@ -19,8 +21,10 @@ Key departures from the CUDA design, forced/enabled by the hardware:
   we walk *front-to-back again* using suffix = total - prefix (totals are
   forward outputs) and write gradients *per pair chunk* — each chunk belongs
   to exactly one tile, so programs write disjoint blocks: atomics-free by
-  construction. The per-splat reduction is a segment-sum performed by XLA
-  outside (the transpose of the differentiable pair gather).
+  construction. The per-splat reduction is the _segreduce_kernel: a streamed
+  one-hot MXU matmul over each splat's contiguous expansion-slot run, fed by
+  a sort-inverted permutation gather (bf16 by default, f32 accumulation) —
+  see make_pair_pipeline.
 - Per-pixel state across chunks (transmittance, prefix accumulators) lives in
   VMEM scratch; early termination of a saturated tile is a while-loop exit
   rather than a warp vote.
@@ -39,28 +43,33 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gaussian_splatting_lightning_tpu.ops import binning as binning_mod
 from gaussian_splatting_lightning_tpu.ops.common import (
     ALPHA_CLAMP,
     ALPHA_THRESHOLD,
-    BLOCK_X,
-    BLOCK_Y,
     TRANSMITTANCE_EPS,
 )
 
 CHUNK = 128  # pairs per VMEM chunk (lane dimension)
-PIX = BLOCK_X * BLOCK_Y  # 256 pixels per tile (sublane dimension)
+PALLAS_BLOCK = 32  # default tile edge (px) for this path; see TilingConfig
 NFEAT = 16  # px py ca cb cc op r g b invz (6 pad); == grad rows
 NOUT = 8  # r g b invd tfin (3 pad)
 
 F_PX, F_PY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_IZ = range(10)
+# At tile sizes other than the reference's 16 px, rows 10-13 carry the
+# splat's 16px-granular tile rect (x0, x1, y0, y1): the reference applies
+# its 3-sigma/support-radius cut at 16px-TILE granularity (rasterize.py:
+# 129-152 membership rects), and a 3-sigma tail pixel can still have
+# alpha > 1/255 — so membership is part of the value spec, not scheduling.
+# The kernels re-apply that exact 16px rect per pixel, making rendered
+# values tile-size-invariant (checked vs the oracle at 5e-6).
+F_X0, F_X1, F_Y0, F_Y1 = 10, 11, 12, 13
 
 
-def _pixel_coords(origin_x, origin_y, dtype):
-    """(256, 1) x/y pixel-center coordinates, y-major pixel order."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = (p % BLOCK_X).astype(dtype) + origin_x
-    py = (p // BLOCK_X).astype(dtype) + origin_y
+def _pixel_coords(origin_x, origin_y, dtype, pix, block_x):
+    """(pix, 1) x/y pixel-center coordinates, y-major pixel order."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    px = (p % block_x).astype(dtype) + origin_x
+    py = (p // block_x).astype(dtype) + origin_y
     return px, py
 
 
@@ -71,9 +80,9 @@ def _strict_upper(dtype):
     return (r < c).astype(dtype)
 
 
-def _chunk_alpha(chunk, px, py):
-    """Shared fwd/bwd math: chunk (NFEAT, 128) -> (256, 128) fields."""
-    dx = chunk[F_PX : F_PX + 1, :] - px  # (256, 128)
+def _chunk_alpha(chunk, px, py, rect_mask):
+    """Shared fwd/bwd math: chunk (NFEAT, 128) -> (pix, 128) fields."""
+    dx = chunk[F_PX : F_PX + 1, :] - px  # (pix, 128)
     dy = chunk[F_PY : F_PY + 1, :] - py
     power = -0.5 * (
         chunk[F_CA : F_CA + 1, :] * dx * dx
@@ -83,7 +92,19 @@ def _chunk_alpha(chunk, px, py):
     e = jnp.exp(power)
     raw = e * chunk[F_OP : F_OP + 1, :]
     alpha = jnp.minimum(raw, ALPHA_CLAMP)
-    alpha = jnp.where(alpha > ALPHA_THRESHOLD, alpha, 0.0)
+    keep = alpha > ALPHA_THRESHOLD
+    if rect_mask:
+        # pixel's 16px subtile vs the pair's reference-granularity rect
+        sx = jnp.floor(px * (1.0 / 16.0))  # (pix, 1), int-valued
+        sy = jnp.floor(py * (1.0 / 16.0))
+        keep = (
+            keep
+            & (sx >= chunk[F_X0 : F_X0 + 1, :])
+            & (sx < chunk[F_X1 : F_X1 + 1, :])
+            & (sy >= chunk[F_Y0 : F_Y0 + 1, :])
+            & (sy < chunk[F_Y1 : F_Y1 + 1, :])
+        )
+    alpha = jnp.where(keep, alpha, 0.0)
     return dx, dy, e, raw, alpha
 
 
@@ -96,19 +117,19 @@ def _fwd_kernel(
     out_ref,
     # scratch
     buf, sem, tcar, acc,
-    *, early_stop: bool,
+    *, early_stop: bool, pix: int, block_x: int, rect_mask: bool,
 ):
     t = pl.program_id(0)
     dtype = out_ref.dtype
     px, py = _pixel_coords(
-        ox_ref[t].astype(dtype), oy_ref[t].astype(dtype), dtype
+        ox_ref[t].astype(dtype), oy_ref[t].astype(dtype), dtype, pix, block_x
     )
     U = _strict_upper(dtype)
     cstart = cstart_ref[t]
     n_chunks = nchunk_ref[t]
 
-    tcar[...] = jnp.ones((PIX, 1), dtype)
-    acc[...] = jnp.zeros((PIX, 8), dtype)
+    tcar[...] = jnp.ones((pix, 1), dtype)
+    acc[...] = jnp.zeros((pix, 8), dtype)
 
     def get_dma(slot, ci):
         return pltpu.make_async_copy(
@@ -131,7 +152,7 @@ def _fwd_kernel(
 
         get_dma(slot, ci).wait()
         chunk = buf[slot]  # (NFEAT, 128)
-        _, _, _, _, alpha = _chunk_alpha(chunk, px, py)
+        _, _, _, _, alpha = _chunk_alpha(chunk, px, py, rect_mask)
 
         lw = jnp.log1p(-alpha)  # alpha <= 0.99 -> well-conditioned
         cum_excl = jnp.dot(lw, U, preferred_element_type=dtype)
@@ -167,8 +188,8 @@ def _fwd_kernel(
 
     color = acc[:, 0:3] + tcar[...] * bg_ref[0:1, 0:3]  # bg composited in
     out_ref[0] = jnp.concatenate(
-        [color, acc[:, 3:4], tcar[...], jnp.zeros((PIX, 3), dtype)], axis=1
-    )  # (256, NOUT)
+        [color, acc[:, 3:4], tcar[...], jnp.zeros((pix, 3), dtype)], axis=1
+    )  # (pix, NOUT)
 
 
 def _bwd_kernel(
@@ -180,11 +201,12 @@ def _bwd_kernel(
     dfeats_hbm,
     # scratch
     buf, sem, dbuf, dsem, tcar, gapre,
+    *, pix: int, block_x: int, rect_mask: bool,
 ):
     t = pl.program_id(0)
     dtype = ct_ref.dtype
     px, py = _pixel_coords(
-        ox_ref[t].astype(dtype), oy_ref[t].astype(dtype), dtype
+        ox_ref[t].astype(dtype), oy_ref[t].astype(dtype), dtype, pix, block_x
     )
     U = _strict_upper(dtype)
     cstart = cstart_ref[t]
@@ -197,8 +219,8 @@ def _bwd_kernel(
     # suffix-through-j = Gtotal' - prefix_incl (see module docstring).
     g_total = jnp.sum(G * fwd[:, 0:4], axis=1, keepdims=True)  # (256, 1)
 
-    tcar[...] = jnp.ones((PIX, 1), dtype)
-    gapre[...] = jnp.zeros((PIX, 1), dtype)  # sum_f G * prefix_f
+    tcar[...] = jnp.ones((pix, 1), dtype)
+    gapre[...] = jnp.zeros((pix, 1), dtype)  # sum_f G * prefix_f
 
     def get_dma(slot, ci):
         return pltpu.make_async_copy(
@@ -220,7 +242,7 @@ def _bwd_kernel(
 
         get_dma(slot, ci).wait()
         chunk = buf[slot]  # (NFEAT, 128)
-        dx, dy, e, raw, alpha = _chunk_alpha(chunk, px, py)
+        dx, dy, e, raw, alpha = _chunk_alpha(chunk, px, py, rect_mask)
 
         lw = jnp.log1p(-alpha)
         cum_excl = jnp.dot(lw, U, preferred_element_type=dtype)
@@ -272,7 +294,11 @@ def _bwd_kernel(
             axis=0,
         )  # (NFEAT, 128)
 
-        # write this chunk's pair grads to its (exclusively owned) HBM block.
+        # write this chunk's pair grads to its (exclusively owned) HBM block
+        # (cast to the routing dtype — bf16 by default: the downstream
+        # permute-gather + segment-reduce are HBM/index bound and the
+        # per-pair cotangents tolerate 8-bit mantissas; accumulation back
+        # into per-splat sums happens in f32 on the MXU).
         # Double-buffered: only wait for the DMA that used this slot two
         # chunks ago (a blocking wait per chunk serialized the whole kernel
         # on the output write — ~2x bwd kernel time).
@@ -289,7 +315,7 @@ def _bwd_kernel(
         def _():
             get_out_dma(oslot, ci - 2).wait()
 
-        dbuf[oslot] = grad
+        dbuf[oslot] = grad.astype(dbuf.dtype)
         get_out_dma(oslot, ci).start()
 
         gapre[...] = gapre[...] + jnp.sum(wE, axis=1, keepdims=True)
@@ -315,7 +341,8 @@ def _bwd_kernel(
         drain_dma(n_chunks - 2).wait()
 
 
-def _fwd_call(feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop):
+def _fwd_call(feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret,
+              early_stop, pix, block_x, rect_mask):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_tiles,),
@@ -324,24 +351,29 @@ def _fwd_call(feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop)
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, PIX, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, pix, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, CHUNK), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((PIX, 1), feats.dtype),
-            pltpu.VMEM((PIX, 8), feats.dtype),
+            pltpu.VMEM((pix, 1), feats.dtype),
+            pltpu.VMEM((pix, 8), feats.dtype),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, early_stop=early_stop),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, PIX, NOUT), feats.dtype),
+        functools.partial(
+            _fwd_kernel, early_stop=early_stop, pix=pix, block_x=block_x,
+            rect_mask=rect_mask,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, pix, NOUT), feats.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(cstart, nchunk, ox, oy, feats, bg)
 
 
-def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles, interpret):
+def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles,
+              interpret, pix, block_x, rect_mask, grad_dtype=None):
+    grad_dtype = grad_dtype or feats.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_tiles,),
@@ -349,10 +381,10 @@ def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles, interpret
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, PIX, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, pix, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, PIX, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, pix, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -360,120 +392,23 @@ def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles, interpret
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, CHUNK), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, NFEAT, CHUNK), feats.dtype),
+            pltpu.VMEM((2, NFEAT, CHUNK), grad_dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((PIX, 1), feats.dtype),
-            pltpu.VMEM((PIX, 1), feats.dtype),
+            pltpu.VMEM((pix, 1), feats.dtype),
+            pltpu.VMEM((pix, 1), feats.dtype),
         ],
     )
-    dfeats_init = jnp.zeros(feats.shape, feats.dtype)
+    dfeats_init = jnp.zeros(feats.shape, grad_dtype)
     return pl.pallas_call(
-        _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct(feats.shape, feats.dtype),
+        functools.partial(
+            _bwd_kernel, pix=pix, block_x=block_x, rect_mask=rect_mask
+        ),
+        out_shape=jax.ShapeDtypeStruct(feats.shape, grad_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(cstart, nchunk, ox, oy, feats, bg, fwd_out, ct, dfeats_init)
-
-
-def make_pair_compositor(
-    n_tiles: int, interpret: bool = False, early_stop: bool = True
-):
-    """Returns composite(feats, bg, cstart, nchunk, ox, oy) -> (T, 256, NOUT)
-    with a custom VJP producing per-pair feature gradients.
-
-    feats: (n_chunks_total, NFEAT, 128) f32, per-tile chunk ranges disjoint,
-    padding rows opacity-0. cstart/nchunk/ox/oy: (T,) int32 (first chunk
-    index, chunk count, global tile pixel origins). bg: (1, 128), first 3
-    lanes live. Gradients flow to feats only.
-    """
-
-    @jax.custom_vjp
-    def composite(feats, bg, cstart, nchunk, ox, oy):
-        return _fwd_call(
-            feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop
-        )
-
-    def fwd(feats, bg, cstart, nchunk, ox, oy):
-        out = _fwd_call(
-            feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop
-        )
-        return out, (feats, bg, cstart, nchunk, ox, oy, out)
-
-    def bwd(res, ct):
-        feats, bg, cstart, nchunk, ox, oy, out = res
-        ct4 = ct[:, :, 0:4]  # cotangent for [r g b invd]; tfin ct ignored
-        dfeats = _bwd_call(
-            feats, bg, out, ct4, cstart, nchunk, ox, oy, n_tiles, interpret
-        )
-        f0 = jax.dtypes.float0
-        return (
-            dfeats,
-            jnp.zeros_like(bg),
-            np.zeros(cstart.shape, f0),
-            np.zeros(nchunk.shape, f0),
-            np.zeros(ox.shape, f0),
-            np.zeros(oy.shape, f0),
-        )
-
-    composite.defvjp(fwd, bwd)
-    return composite
-
-
-# ---------------------------------------------------------------------------
-# glue: preprocess/binning -> aligned chunked pair features -> kernel -> image
-# ---------------------------------------------------------------------------
-
-
-@jax.custom_vjp
-def _permute_rows(x, perm, inv_perm):
-    """x[perm] with a gather-based VJP.
-
-    The AD transpose of a permutation gather is a permutation *scatter* —
-    ~100 ms for 1M rows on this TPU backend (HLO fusion.15 in the round-1
-    profile). Since the inverse permutation is known, the cotangent is just
-    another gather: d x = ct[inv_perm].
-    """
-    return x[perm]
-
-
-def _permute_rows_fwd(x, perm, inv_perm):
-    return x[perm], inv_perm
-
-
-def _permute_rows_bwd(inv_perm, ct):
-    f0 = jax.dtypes.float0
-    return (
-        ct[inv_perm],
-        np.zeros(inv_perm.shape, f0),
-        np.zeros(inv_perm.shape, f0),
-    )
-
-
-_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
-
-
-@jax.custom_vjp
-def _permute_cols(x, perm, inv_perm):
-    """x[:, perm] with a gather-based VJP (see _permute_rows)."""
-    return x[:, perm]
-
-
-def _permute_cols_fwd(x, perm, inv_perm):
-    return x[:, perm], inv_perm
-
-
-def _permute_cols_bwd(inv_perm, ct):
-    f0 = jax.dtypes.float0
-    return (
-        ct[:, inv_perm],
-        np.zeros(inv_perm.shape, f0),
-        np.zeros(inv_perm.shape, f0),
-    )
-
-
-_permute_cols.defvjp(_permute_cols_fwd, _permute_cols_bwd)
 
 
 # -- backward segment-reduce: per-splat sums over contiguous slot ranges ----
@@ -535,19 +470,19 @@ def _segreduce_kernel(
             get_dma(1 - slot, ci + 1).start()
 
         get_dma(slot, ci).wait()
-        rows = buf[slot]  # (NFEAT, SEG_CHUNK)
+        rows = buf[slot]  # (NFEAT, SEG_CHUNK), possibly bf16
         slotg = (
             astart + ci * SEG_CHUNK
             + jax.lax.broadcasted_iota(jnp.int32, (SEG_CHUNK, 1), 0)
-        ).astype(dtype)
+        ).astype(dtype)  # f32 compares stay exact below 2^24 slots
         onehot = (
             (slotg >= off_abs) & (slotg < off_next)
             & (slotg < total.astype(dtype))
-        ).astype(dtype)  # (SEG_CHUNK, 128)
+        ).astype(rows.dtype)  # (SEG_CHUNK, 128); 0/1 exact in bf16
         acc[...] += jax.lax.dot_general(
             rows, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=dtype,
-        )  # (NFEAT, 128)
+        )  # (NFEAT, 128) accumulated in f32 on the MXU
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -573,65 +508,96 @@ def _segreduce_call(dslot, counts2d, pstart, pchunks, total_arr, interpret):
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, SEG_CHUNK), dslot.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((NFEAT, SEG_SPLATS), dslot.dtype),
+            pltpu.VMEM((NFEAT, SEG_SPLATS), jnp.float32),
         ],
     )
     return pl.pallas_call(
         _segreduce_kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (n_blocks, NFEAT, SEG_SPLATS), dslot.dtype
+            (n_blocks, NFEAT, SEG_SPLATS), jnp.float32
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(pstart, pchunks, total_arr, counts2d, dslot)
 
 
-def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
-    """feats = gfeat_T[:, gidx] * valid with a Pallas segment-reduce VJP.
+def make_pair_pipeline(
+    n: int,
+    m_pad: int,
+    n_tiles: int,
+    interpret: bool = False,
+    early_stop: bool = True,
+    block: int = PALLAS_BLOCK,
+    grad_bf16: bool = True,
+):
+    """Pair gather + compositing as ONE custom_vjp.
 
-    Everything is feature-major (16, ...): the forward is a lane gather from
-    the (16, N) original-order splat table (gidx carries original ids), the
-    kernels consume 128-aligned lane windows, and the VJP gathers pair
-    cotangents into expansion-slot order (where each DEPTH-RANKED splat's
-    pairs are contiguous), reduces them with _segreduce_kernel, and maps the
-    depth-ranked sums back to original order with one permutation gather —
-    no layout transposes anywhere on the pair path.
+    Forward: feats = gfeat_T[:, gidx] * valid (a lane gather from the
+    (16, N) original-order splat table), then the Pallas compositor.
+
+    Backward (all hand-rolled — none of this is XLA AD):
+      1. the bwd compositor kernel writes per-pair cotangents straight in
+         ``bf16`` when ``grad_bf16`` (default): the steps below are
+         HBM/index bound, per-pair gradients tolerate 8-bit mantissas, and
+         keeping the boundary *inside* this custom_vjp keeps the op's own
+         cotangent f32 like its primal;
+      2. aligned -> expansion-slot routing: the blocked counting sort's slot
+         permutation is inverted with one sort (cheaper than XLA scatter,
+         which sorts internally anyway), then one lane gather;
+      3. a Pallas segment-reduce sums each splat's contiguous expansion-slot
+         run into (NFEAT, 128) blocks with f32 MXU accumulation;
+      4. one permutation gather maps depth-ranked sums back to original
+         splat order.
     """
     n_blocks = -(-n // SEG_SPLATS)
     n_pad = n_blocks * SEG_SPLATS
+    pix = block * block
+    rect_mask = block != 16
+    grad_dtype = jnp.bfloat16 if grad_bf16 else None
 
-    @jax.custom_vjp
-    def gather(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total,
-               inv_order):
+    def _gather(gfeat_t, gidx, valid):
         return jnp.take(gfeat_t, jnp.clip(gidx, 0), axis=1) * valid.astype(
             gfeat_t.dtype
         )[None, :]
 
+    @jax.custom_vjp
+    def run(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total,
+            inv_order, bg, cstart, nchunk, ox, oy):
+        feats = _gather(gfeat_t, gidx, valid)
+        return _fwd_call(
+            feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop,
+            pix, block, rect_mask,
+        )
+
     def fwd(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total,
-            inv_order):
-        out = gather(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets,
-                     total, inv_order)
-        return out, (gidx, valid, dst_sorted, slot_sorted, offsets, total,
-                     inv_order)
+            inv_order, bg, cstart, nchunk, ox, oy):
+        feats = _gather(gfeat_t, gidx, valid)
+        out = _fwd_call(
+            feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop,
+            pix, block, rect_mask,
+        )
+        return out, (feats, bg, out, dst_sorted, slot_sorted, offsets, total,
+                     inv_order, cstart, nchunk, ox, oy)
 
     def bwd(res, ct):
-        (gidx, valid, dst_sorted, slot_sorted, offsets, total,
-         inv_order) = res
+        (feats, bg, out, dst_sorted, slot_sorted, offsets, total, inv_order,
+         cstart, nchunk, ox, oy) = res
+        ct4 = ct[:, :, 0:4]  # cotangent for [r g b invd]; tfin ct ignored
+        dcols_t = _bwd_call(
+            feats, bg, out, ct4, cstart, nchunk, ox, oy, n_tiles, interpret,
+            pix, block, rect_mask, grad_dtype,
+        )  # (NFEAT, m_pad) in grad dtype; zero outside every tile range
+
         max_pairs = dst_sorted.shape[0]
-        dcols_t = ct * valid.astype(ct.dtype)[None, :]  # (NFEAT, m_pad)
-        # aligned -> expansion-slot order, where each splat's pairs are
-        # contiguous and the Pallas segment-reduce replaces XLA's serialized
-        # scatter-add. Routing measurements at 4M pairs on v5e: the int32
-        # slot->dst map scatter (~23 ms) + one 16-row lane gather (~100 ms,
-        # random-locality indices) beats gather-by-dst + 16-row lane scatter
-        # (~450 ms: TPU lane-scatters serialize per element and do not
-        # amortize sublanes the way gathers do).
         # slot_sorted is a complete permutation of [0, max_pairs): sorting
         # (slot, dst) by slot inverts it ~2x cheaper than XLA's scatter
-        # (which internally sorts anyway) — 13.7 vs 29.4 ms at 4.7M on v5e
+        # (which internally sorts anyway) — 13.7 vs 29.4 ms at 4.7M on v5e.
         _, dst_of_slot = jax.lax.sort(
             (slot_sorted, dst_sorted), num_keys=1
         )
+        # expansion-slot order: each DEPTH-RANKED splat's pairs contiguous.
+        # Dropped/invalid slots carry dst == m_pad -> clipped to a zero (or
+        # irrelevant) column; their counts exclude them from every segment.
         dslot = jnp.take(
             dcols_t, jnp.clip(dst_of_slot, 0, m_pad - 1), axis=1
         )
@@ -654,27 +620,33 @@ def make_pair_gather(n: int, m_pad: int, interpret: bool = False):
         pchunks = -(-jnp.maximum(block_end - astart, 0) // SEG_CHUNK)
         total_arr = cap.reshape(1)
 
-        out = _segreduce_call(
+        segsum = _segreduce_call(
             dslot, counts2d, pstart, pchunks.astype(jnp.int32), total_arr,
             interpret,
-        )  # (n_blocks, NFEAT, 128)
-        dtable = out.transpose(1, 0, 2).reshape(NFEAT, n_pad)
+        )  # (n_blocks, NFEAT, 128) f32
+        dtable = segsum.transpose(1, 0, 2).reshape(NFEAT, n_pad)
         # depth-rank k sums -> original splat order[k]
         dtable = jnp.take(dtable, inv_order, axis=1)
         f0 = jax.dtypes.float0
         return (
             dtable,
-            np.zeros(gidx.shape, f0),
-            np.zeros(valid.shape, f0),
+            np.zeros((m_pad,), f0),            # gidx
+            np.zeros((m_pad,), f0),            # valid
             np.zeros(dst_sorted.shape, f0),
             np.zeros(slot_sorted.shape, f0),
             np.zeros(offsets.shape, f0),
             np.zeros(total.shape, f0),
             np.zeros(inv_order.shape, f0),
+            jnp.zeros_like(bg),
+            np.zeros(cstart.shape, f0),
+            np.zeros(nchunk.shape, f0),
+            np.zeros(ox.shape, f0),
+            np.zeros(oy.shape, f0),
         )
 
-    gather.defvjp(fwd, bwd)
-    return gather
+    run.defvjp(fwd, bwd)
+    return run
+
 
 def rasterize_pallas(
     means3d, opacities, scales, quats, sh, camera, width, height,
@@ -696,18 +668,19 @@ def rasterize_pallas(
     )
 
     config = config or TilingConfig()
+    blk = config.resolve_block("pallas")
     prep = preprocess(
         means3d, opacities, scales, quats, sh, camera, width, height,
         sh_degree, max_sh_degree, scale_modifier, antialias, alive,
         means2d_ndc_offset,
     )
-    grid_x, grid_y = binning.grid_shape(width, height)
+    grid_x, grid_y = binning.grid_shape(width, height, blk, blk)
     banded = grid_y_local is not None
     gy = grid_y_local if banded else grid_y
     n_tiles = grid_x * gy
 
     # bigger sort blocks at large tile counts keep the (blocks x tiles)
-    # histogram small (1080p: 8160 tiles -> 33 MB instead of 134 MB)
+    # histogram small (1080p: 8160 16px tiles -> 33 MB instead of 134 MB)
     sort_block = 8192 if n_tiles >= 2048 else 2048
     max_pairs = -(-config.max_pairs // sort_block) * sort_block
     m_pad = max_pairs + CHUNK * n_tiles
@@ -716,7 +689,7 @@ def rasterize_pallas(
      num_dropped, dst_sorted, slot_sorted, slot_offsets) = (
         binning.build_aligned_bins(
             prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
-            sort_block, interpret=interpret,
+            sort_block, interpret=interpret, block=blk,
         )
     )
     # Packed per-splat feature rows (original order — gidx carries original
@@ -724,6 +697,20 @@ def rasterize_pallas(
     # a custom VJP (segment-reduce over depth-grouped slots) instead of
     # XLA's serialized scatter-adds.
     zeros_n = jnp.zeros_like(prep.depth)
+    if blk != 16:
+        # reference-granularity membership rect (see F_X0 note above);
+        # tangent-free geometry, like the binning rect
+        from gaussian_splatting_lightning_tpu.core import transforms as _tf
+
+        g16x, g16y = binning.grid_shape(width, height, 16, 16)
+        sg = jax.lax.stop_gradient
+        r16 = _tf.tile_rect(
+            sg(prep.p_pix), sg(prep.radius_bin), g16x, g16y, 16, 16
+        )
+        rect_rows = [r.astype(prep.depth.dtype) for r in
+                     (r16[0], r16[2], r16[1], r16[3])]  # x0 x1 y0 y1
+    else:
+        rect_rows = [zeros_n, zeros_n, zeros_n, zeros_n]
     gfeat_t = jnp.stack(
         [
             prep.p_pix[:, 0], prep.p_pix[:, 1],
@@ -731,27 +718,32 @@ def rasterize_pallas(
             prep.opacity,
             prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
             1.0 / prep.depth,
-            zeros_n, zeros_n, zeros_n, zeros_n, zeros_n, zeros_n,
+            *rect_rows, zeros_n, zeros_n,
         ],
         axis=0,
     )  # (NFEAT, N), feature-major from the start: no transposes on this path
-    pair_gather = make_pair_gather(gfeat_t.shape[1], m_pad, interpret)
-    feats = pair_gather(
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    ox = (t_ids % grid_x) * blk
+    oy = ((t_ids // grid_x) + tile_y_offset) * blk
+    bg_pad = jnp.zeros((1, 128), gfeat_t.dtype).at[0, 0:3].set(background)
+
+    pipeline = make_pair_pipeline(
+        gfeat_t.shape[1], m_pad, n_tiles, interpret, early_stop, blk,
+        grad_bf16=config.pair_grad_bf16,
+    )
+    out = pipeline(
         gfeat_t, gidx, valid, dst_sorted, slot_sorted, slot_offsets,
         jnp.asarray(num_pairs, jnp.int32), jnp.argsort(order),
-    )  # (NFEAT, m_pad)
+        bg_pad, cstart, nchunk, ox, oy,
+    )  # (T, pix, NOUT)
 
-    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    ox = (t_ids % grid_x) * BLOCK_X
-    oy = ((t_ids // grid_x) + tile_y_offset) * BLOCK_Y
-    bg_pad = jnp.zeros((1, 128), feats.dtype).at[0, 0:3].set(background)
-
-    composite = make_pair_compositor(n_tiles, interpret, early_stop)
-    out = composite(feats, bg_pad, cstart, nchunk, ox, oy)  # (T, 256, NOUT)
-
-    out_h = gy * BLOCK_Y if banded else height
-    image = _assemble(out[..., 0:3], grid_x, gy, width, out_h, 3)
-    depth = _assemble(out[..., 3], grid_x, gy, width, out_h)
+    out_h = gy * blk if banded else height
+    image = _assemble(
+        out[..., 0:3], grid_x, gy, width, out_h, 3, block_x=blk, block_y=blk
+    )
+    depth = _assemble(
+        out[..., 3], grid_x, gy, width, out_h, block_x=blk, block_y=blk
+    )
 
     stats = {
         "num_pairs": num_pairs,

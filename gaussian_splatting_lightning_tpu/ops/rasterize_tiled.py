@@ -43,6 +43,19 @@ class TilingConfig:
     max_pairs: int = 1 << 18  # (splat, tile) duplication budget
     tile_capacity: int = 1024  # deepest splats beyond this are dropped per tile
     chunk: int = 64  # splats composited per scan step
+    # Tile edge in pixels. None = per-path default: 16 for the XLA/oracle
+    # paths (the reference's CUDA-block-shaped spec, rasterize.py:19-20),
+    # 32 for the Pallas path — TPU routing (expansion/sort/gather) costs
+    # scale with the pair count, which shrinks ~2x at 32px tiles, while the
+    # extra per-pair blend area lands on the MXU where it is nearly free.
+    block: int | None = None
+    # Route per-pair cotangents (bwd compositor -> permute -> segment-reduce)
+    # in bfloat16 with f32 accumulation (Pallas path only). Halves the
+    # HBM-bound backward routing; per-splat sums stay f32 on the MXU.
+    pair_grad_bf16: bool = True
+
+    def resolve_block(self, impl: str) -> int:
+        return self.block or (32 if impl == "pallas" else 16)
 
 
 def composite_tiles_tabled(
@@ -122,14 +135,15 @@ def composite_tiles_tabled(
     return color, invd
 
 
-def _assemble(canvas_tiles, grid_x, grid_y, width, height, channels=None):
+def _assemble(canvas_tiles, grid_x, grid_y, width, height, channels=None,
+              block_x=BLOCK_X, block_y=BLOCK_Y):
     if channels is None:
-        t = canvas_tiles.reshape(grid_y, grid_x, BLOCK_Y, BLOCK_X)
-        t = t.transpose(0, 2, 1, 3).reshape(grid_y * BLOCK_Y, grid_x * BLOCK_X)
+        t = canvas_tiles.reshape(grid_y, grid_x, block_y, block_x)
+        t = t.transpose(0, 2, 1, 3).reshape(grid_y * block_y, grid_x * block_x)
         return t[:height, :width]
-    t = canvas_tiles.reshape(grid_y, grid_x, BLOCK_Y, BLOCK_X, channels)
+    t = canvas_tiles.reshape(grid_y, grid_x, block_y, block_x, channels)
     t = t.transpose(0, 2, 1, 3, 4).reshape(
-        grid_y * BLOCK_Y, grid_x * BLOCK_X, channels
+        grid_y * block_y, grid_x * block_x, channels
     )
     return t[:height, :width]
 

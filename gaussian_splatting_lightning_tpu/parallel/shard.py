@@ -48,10 +48,20 @@ from gaussian_splatting_lightning_tpu.training.optimizer import (
 )
 
 
-def _band_geometry(height: int, n_tile: int):
-    grid_y = (height + BLOCK_Y - 1) // BLOCK_Y
+def _band_geometry(height: int, n_tile: int, block: int = BLOCK_Y):
+    grid_y = (height + block - 1) // block
     gy_local = -(-grid_y // n_tile)  # pad so every device owns an equal band
     return grid_y, gy_local
+
+
+def _resolve_impl(name: str) -> str:
+    """Resolved rasterizer impl name ('pallas'/'xla') — the tile edge (and so
+    the band geometry) depends on which path runs (TilingConfig.block)."""
+    import jax as _jax
+
+    if name == "auto":
+        return "pallas" if _jax.devices()[0].platform == "tpu" else "xla"
+    return name
 
 
 SSIM_RADIUS = 5  # 11x11 window
@@ -204,10 +214,12 @@ def make_sharded_train_step(
     )
 
     schedules = make_lr_schedules(cfg.optimizer, spatial_scale)
-    rasterize_fn = resolve_rasterizer(getattr(cfg, "rasterizer", "auto"))
+    impl = _resolve_impl(getattr(cfg, "rasterizer", "auto"))
+    rasterize_fn = resolve_rasterizer(impl)
     n_tile = mesh.shape["tile"]
     n_view = mesh.shape["view"]
-    _, gy_local = _band_geometry(height, n_tile)
+    block = cfg.tiling.resolve_block(impl)
+    _, gy_local = _band_geometry(height, n_tile, block)
     # cfg.tiling.max_pairs is the whole-image budget; each device bins only
     # its band, so its expansion/sort/scatter budget divides by the band
     # count (rounded to sort-block granularity). Without this every device

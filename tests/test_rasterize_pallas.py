@@ -17,7 +17,11 @@ from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import TilingConfig
 from tests.ref_oracle import load_treehill_fixtures
 
 RNG = np.random.default_rng(31)
-CFG = TilingConfig(max_pairs=1 << 14, tile_capacity=512, chunk=64)
+# strict oracle-parity config: f32 gradient routing (the production default
+# routes pair cotangents in bf16 — bounded separately below)
+CFG = TilingConfig(
+    max_pairs=1 << 14, tile_capacity=512, chunk=64, pair_grad_bf16=False
+)
 
 
 @pytest.fixture(scope="module")
@@ -125,21 +129,67 @@ def test_pallas_backward_matches_oracle_ad(setup):
     assert np.abs(np.asarray(gp[5])).sum() > 0
 
 
-def test_pallas_banded_rendering_matches_full(setup):
-    """Tile-row bands (the multi-chip sharding unit) assemble to the full
-    image — validates tile_y_offset/grid_y_local through the Pallas path."""
+def test_pallas_bf16_grad_routing_error_bound(setup):
+    """The production default routes per-pair cotangents in bf16 (f32 MXU
+    accumulation). Bound its gradient error against the f32 routing: the
+    forward must be bit-identical (bf16 only touches the backward), and
+    every parameter gradient must stay within 1% of the f32 path's scale."""
+    import dataclasses
+
     s, cam = setup
-    n, w, h = 250, 96, 64  # grid_y = 4
+    n, w, h = 400, 96, 64
+    means, opac, scales, quats, sh = _scene(n, s)
+    bg = jnp.zeros(3)
+    target = jnp.linspace(0, 1, 3 * h * w).reshape(3, h, w)
+    args = (
+        jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales),
+        jnp.asarray(quats), jnp.asarray(sh),
+    )
+
+    def make_loss(cfg):
+        def loss(*p):
+            out, _ = rasterize_pallas(
+                p[0], p[1], p[2], p[3], p[4], cam, w, h, bg, 2, config=cfg,
+                interpret=True, early_stop=False,
+            )
+            return jnp.abs(out.image - target).mean()
+        return loss
+
+    cfg16 = dataclasses.replace(CFG, pair_grad_bf16=True)
+    l32, l16 = make_loss(CFG), make_loss(cfg16)
+    np.testing.assert_array_equal(
+        np.asarray(l32(*args)), np.asarray(l16(*args))
+    )
+    g32 = jax.grad(l32, argnums=tuple(range(5)))(*args)
+    g16 = jax.grad(l16, argnums=tuple(range(5)))(*args)
+    for name, a, b in zip(["means", "op", "sc", "q", "sh"], g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        err = np.abs(b - a).max() / scale
+        assert err < 1e-2, f"{name}: bf16 routing error {err:.2e}"
+        assert np.isfinite(b).all()
+
+
+@pytest.mark.parametrize("block", [16, 32])
+def test_pallas_banded_rendering_matches_full(setup, block):
+    """Tile-row bands (the multi-chip sharding unit) assemble to the full
+    image — validates tile_y_offset/grid_y_local through the Pallas path,
+    at both tile sizes."""
+    import dataclasses
+
+    s, cam = setup
+    n, w, h = 250, 96, block * 4  # grid_y = 4
+    cfg = dataclasses.replace(CFG, block=block)
     means, opac, scales, quats, sh = _scene(n, s)
     args = (
         jnp.asarray(means), jnp.asarray(opac), jnp.asarray(scales),
         jnp.asarray(quats), jnp.asarray(sh), cam, w, h, jnp.zeros(3), 2,
     )
-    full, _ = rasterize_pallas(*args, config=CFG, interpret=True, early_stop=False)
+    full, _ = rasterize_pallas(*args, config=cfg, interpret=True, early_stop=False)
     bands = []
     for band in range(2):
         out, _ = rasterize_pallas(
-            *args, config=CFG, interpret=True, early_stop=False,
+            *args, config=cfg, interpret=True, early_stop=False,
             tile_y_offset=band * 2, grid_y_local=2,
         )
         bands.append(np.asarray(out.image))
@@ -159,7 +209,9 @@ def test_pallas_backward_odd_sizes_and_overflow(setup, n, budget):
     means, opac, scales, quats, sh = _scene(n, s)
     bg = jnp.zeros(3)
     target = jnp.linspace(0, 1, 3 * h * w).reshape(3, h, w)
-    cfg = TilingConfig(max_pairs=budget, tile_capacity=256, chunk=64)
+    cfg = TilingConfig(
+        max_pairs=budget, tile_capacity=256, chunk=64, pair_grad_bf16=False
+    )
 
     def loss_pallas(*p):
         out, _ = rasterize_pallas(
