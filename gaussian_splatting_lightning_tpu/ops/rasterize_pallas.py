@@ -50,6 +50,7 @@ from gaussian_splatting_lightning_tpu.ops.common import (
 )
 
 CHUNK = 128  # pairs per VMEM chunk (lane dimension)
+SLAB = 256  # pixel rows per bwd-kernel step (VMEM working-set bound)
 PALLAS_BLOCK = 32  # default tile edge (px) for this path; see TilingConfig
 NFEAT = 16  # px py ca cb cc op r g b invz (6 pad); == grad rows
 NOUT = 8  # r g b invd tfin (3 pad)
@@ -201,7 +202,7 @@ def _bwd_kernel(
     dfeats_hbm,
     # scratch
     buf, sem, dbuf, dsem, tcar, gapre,
-    *, pix: int, block_x: int, rect_mask: bool,
+    *, pix: int, block_x: int, rect_mask: bool, early_stop: bool,
 ):
     t = pl.program_id(0)
     dtype = ct_ref.dtype
@@ -233,7 +234,16 @@ def _bwd_kernel(
     def _():
         get_dma(0, 0).start()
 
-    def body(ci, _):
+    # Pixels are processed in 256-row slabs (statically unrolled): the bwd
+    # math holds ~20 live (pixels, 128) temporaries, and at 32px tiles
+    # (pix=1024) the full-tile working set (~10 MB/chunk) thrashed VMEM —
+    # 56 ms vs the forward's 6 ms. Per-pair gradients are pixel sums, so
+    # slabs just accumulate into one (NFEAT, 128) block.
+    slab = SLAB if pix % SLAB == 0 else pix
+    n_slabs = pix // slab
+
+    def body(state):
+        ci, _ = state
         slot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < n_chunks)
@@ -242,57 +252,67 @@ def _bwd_kernel(
 
         get_dma(slot, ci).wait()
         chunk = buf[slot]  # (NFEAT, 128)
-        dx, dy, e, raw, alpha = _chunk_alpha(chunk, px, py, rect_mask)
-
-        lw = jnp.log1p(-alpha)
-        cum_excl = jnp.dot(lw, U, preferred_element_type=dtype)
-        t_in = tcar[...] * jnp.exp(cum_excl)
-        live = t_in > TRANSMITTANCE_EPS
-        w = jnp.where(live, alpha * t_in, 0.0)  # (256, 128)
-
         rgbz = chunk[F_R : F_R + 4, :]  # (4, 128)
-        E = jnp.dot(G, rgbz, preferred_element_type=dtype)  # (256, 128)
-        wE = w * E
-        # inclusive prefix = exclusive prefix + self: reuse the U matmul
-        prefix_incl = gapre[...] + jnp.dot(
-            wE, U, preferred_element_type=dtype
-        ) + wE
-        suffix = g_total - prefix_incl  # G . (suffix colors + Tfin*bg)
-        one_m = 1.0 - alpha
-        has_grad = alpha > 0.0  # thresholded alphas detach entirely
-        d_alpha = jnp.where(
-            has_grad,
-            jnp.where(live, E * t_in, 0.0) - suffix / one_m,
-            0.0,
-        )
-        unclamped = raw < ALPHA_CLAMP
-        d_power = jnp.where(unclamped, d_alpha * alpha, 0.0)  # da/dpow = op*e
-        d_op_px = jnp.where(unclamped, d_alpha * e, 0.0)
-
         ca = chunk[F_CA : F_CA + 1, :]
         cb = chunk[F_CB : F_CB + 1, :]
         cc = chunk[F_CC : F_CC + 1, :]
-        ddx = d_power * (-(ca * dx + cb * dy))
-        ddy = d_power * (-(cb * dx + cc * dy))
 
-        def colsum(x):  # (256, 128) -> (1, 128): reduce over pixels
+        def colsum(x):  # (slab, 128) -> (1, 128): reduce over pixels
             return jnp.sum(x, axis=0, keepdims=True)
 
-        d_rgbz = jax.lax.dot_general(
-            G, w, (((0,), (0,)), ((), ())), preferred_element_type=dtype
-        )  # (4, 128)
-        grad = jnp.concatenate(
-            [
-                colsum(ddx), colsum(ddy),
-                colsum(d_power * (-0.5 * dx * dx)),
-                colsum(d_power * (-dx * dy)),
-                colsum(d_power * (-0.5 * dy * dy)),
-                colsum(d_op_px),
-                d_rgbz,
-                jnp.zeros((NFEAT - 10, CHUNK), dtype),
-            ],
-            axis=0,
-        )  # (NFEAT, 128)
+        grad = jnp.zeros((NFEAT, CHUNK), dtype)
+        for s in range(n_slabs):
+            sl = slice(s * slab, (s + 1) * slab)
+            dx, dy, e, raw, alpha = _chunk_alpha(
+                chunk, px[sl], py[sl], rect_mask
+            )
+            lw = jnp.log1p(-alpha)
+            cum_excl = jnp.dot(lw, U, preferred_element_type=dtype)
+            t_in = tcar[sl, :] * jnp.exp(cum_excl)
+            live = t_in > TRANSMITTANCE_EPS
+            w = jnp.where(live, alpha * t_in, 0.0)  # (slab, 128)
+
+            E = jnp.dot(G[sl], rgbz, preferred_element_type=dtype)
+            wE = w * E
+            # inclusive prefix = exclusive prefix + self: reuse the U matmul
+            prefix_incl = gapre[sl, :] + jnp.dot(
+                wE, U, preferred_element_type=dtype
+            ) + wE
+            suffix = g_total[sl] - prefix_incl  # G.(suffix colors + Tfin*bg)
+            one_m = 1.0 - alpha
+            has_grad = alpha > 0.0  # thresholded alphas detach entirely
+            d_alpha = jnp.where(
+                has_grad,
+                jnp.where(live, E * t_in, 0.0) - suffix / one_m,
+                0.0,
+            )
+            unclamped = raw < ALPHA_CLAMP
+            d_power = jnp.where(unclamped, d_alpha * alpha, 0.0)  # op*e
+            d_op_px = jnp.where(unclamped, d_alpha * e, 0.0)
+
+            ddx = d_power * (-(ca * dx + cb * dy))
+            ddy = d_power * (-(cb * dx + cc * dy))
+
+            d_rgbz = jax.lax.dot_general(
+                G[sl], w, (((0,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )  # (4, 128)
+            grad = grad + jnp.concatenate(
+                [
+                    colsum(ddx), colsum(ddy),
+                    colsum(d_power * (-0.5 * dx * dx)),
+                    colsum(d_power * (-dx * dy)),
+                    colsum(d_power * (-0.5 * dy * dy)),
+                    colsum(d_op_px),
+                    d_rgbz,
+                    jnp.zeros((NFEAT - 10, CHUNK), dtype),
+                ],
+                axis=0,
+            )  # (NFEAT, 128)
+            gapre[sl, :] = gapre[sl, :] + jnp.sum(wE, axis=1, keepdims=True)
+            tcar[sl, :] = tcar[sl, :] * jnp.exp(
+                jnp.sum(lw, axis=1, keepdims=True)
+            )
 
         # write this chunk's pair grads to its (exclusively owned) HBM block
         # (cast to the routing dtype — bf16 by default: the downstream
@@ -317,12 +337,27 @@ def _bwd_kernel(
 
         dbuf[oslot] = grad.astype(dbuf.dtype)
         get_out_dma(oslot, ci).start()
+        # Early stop mirrors the forward: once every pixel's transmittance
+        # is below the stop threshold, all remaining pairs had w = 0 in the
+        # forward and their gradients are exactly zero — and their dfeats
+        # chunks stay zero via the aliased zero init.
+        return ci + 1, jnp.max(tcar[...])
 
-        gapre[...] = gapre[...] + jnp.sum(wE, axis=1, keepdims=True)
-        tcar[...] = tcar[...] * jnp.exp(jnp.sum(lw, axis=1, keepdims=True))
-        return 0
+    def cond(state):
+        ci, tmax = state
+        alive = ci < n_chunks
+        if early_stop:
+            alive = jnp.logical_and(alive, tmax > TRANSMITTANCE_EPS)
+        return alive
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    final_ci, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.asarray(1.0, dtype))
+    )
+    if early_stop:
+        # drain the prefetched input DMA left in flight by an early exit
+        @pl.when(final_ci < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(final_ci, 2), final_ci).wait()
 
     # drain in-flight output DMAs before the next grid step reuses the slots
     def drain_dma(cj):
@@ -332,13 +367,13 @@ def _bwd_kernel(
             dsem.at[jax.lax.rem(cj, 2)],
         )
 
-    @pl.when(n_chunks >= 1)
+    @pl.when(final_ci >= 1)
     def _():
-        drain_dma(n_chunks - 1).wait()
+        drain_dma(final_ci - 1).wait()
 
-    @pl.when(n_chunks >= 2)
+    @pl.when(final_ci >= 2)
     def _():
-        drain_dma(n_chunks - 2).wait()
+        drain_dma(final_ci - 2).wait()
 
 
 def _fwd_call(feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret,
@@ -372,7 +407,8 @@ def _fwd_call(feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret,
 
 
 def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles,
-              interpret, pix, block_x, rect_mask, grad_dtype=None):
+              interpret, pix, block_x, rect_mask, early_stop,
+              grad_dtype=None):
     grad_dtype = grad_dtype or feats.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -401,7 +437,8 @@ def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles,
     dfeats_init = jnp.zeros(feats.shape, grad_dtype)
     return pl.pallas_call(
         functools.partial(
-            _bwd_kernel, pix=pix, block_x=block_x, rect_mask=rect_mask
+            _bwd_kernel, pix=pix, block_x=block_x, rect_mask=rect_mask,
+            early_stop=early_stop,
         ),
         out_shape=jax.ShapeDtypeStruct(feats.shape, grad_dtype),
         grid_spec=grid_spec,
@@ -585,7 +622,7 @@ def make_pair_pipeline(
         ct4 = ct[:, :, 0:4]  # cotangent for [r g b invd]; tfin ct ignored
         dcols_t = _bwd_call(
             feats, bg, out, ct4, cstart, nchunk, ox, oy, n_tiles, interpret,
-            pix, block, rect_mask, grad_dtype,
+            pix, block, rect_mask, early_stop, grad_dtype,
         )  # (NFEAT, m_pad) in grad dtype; zero outside every tile range
 
         max_pairs = dst_sorted.shape[0]
