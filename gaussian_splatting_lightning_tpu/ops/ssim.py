@@ -28,20 +28,25 @@ def _gaussian_window(size: int, sigma: float):
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
-    """Separable depthwise Gaussian blur, NCHW, same padding."""
+def _blur_valid(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable depthwise Gaussian blur, NCHW, VALID padding.
+
+    precision=HIGHEST: TPU convs default to bf16 multiplies, and the
+    variance terms downstream (blur(x^2) - mu^2) are cancellation-sensitive
+    — bf16 window sums made SSIM land outside [-1, 1] on smooth 1080p
+    renders, corrupting the training loss."""
     c = x.shape[1]
     w = jnp.asarray(_gaussian_window(window_size, sigma), dtype=x.dtype)
     kh = jnp.tile(w.reshape(1, 1, window_size, 1), (c, 1, 1, 1))
     kw = jnp.tile(w.reshape(1, 1, 1, window_size), (c, 1, 1, 1))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    pad_h = [(window_size // 2, window_size // 2), (0, 0)]
-    pad_w = [(0, 0), (window_size // 2, window_size // 2)]
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), pad_h, dimension_numbers=dn, feature_group_count=c
+        x, kh, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), pad_w, dimension_numbers=dn, feature_group_count=c
+        x, kw, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     return x
 
@@ -55,13 +60,31 @@ def ssim_map(
     """Per-pixel SSIM map, (B, C, H, W) -> (B, C, H, W), same (zero) padding.
 
     Exposed separately so the tile-sharded loss can compute masked band
-    partial sums of the exact full-image map (parallel/shard.py)."""
-    mu1 = _blur(img1, window_size, sigma)
-    mu2 = _blur(img2, window_size, sigma)
+    partial sums of the exact full-image map (parallel/shard.py).
+
+    Variances/covariance are computed on globally-centered inputs:
+    var = blur((x-c)^2) - blur(x-c)^2 is exact for any constant shift c,
+    and c ~ the image mean shrinks the cancelling terms from O(mean^2) to
+    O(local variance) — in f32 the uncentered form loses ~7 digits on
+    smooth renders (local sigma^2 ~ 1e-8 vs blur(x^2) ~ 0.25). To keep the
+    original zero-padding semantics exactly (out-of-image pixels read as 0,
+    which the band-sharded loss's zero-filled halos rely on), the images are
+    padded with zeros FIRST, then shifted, then blurred VALID: the padded
+    border pixels correctly contribute (0 - c) to the centered sums."""
+    c1 = jax.lax.stop_gradient(jnp.mean(img1))
+    c2 = jax.lax.stop_gradient(jnp.mean(img2))
+    r = window_size // 2
+    pad = ((0, 0), (0, 0), (r, r), (r, r))
+    y1 = jnp.pad(img1, pad) - c1
+    y2 = jnp.pad(img2, pad) - c2
+    by1 = _blur_valid(y1, window_size, sigma)
+    by2 = _blur_valid(y2, window_size, sigma)
+    mu1 = by1 + c1
+    mu2 = by2 + c2
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window_size, sigma) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window_size, sigma) - mu2_sq
-    sigma12 = _blur(img1 * img2, window_size, sigma) - mu12
+    sigma1_sq = _blur_valid(y1 * y1, window_size, sigma) - by1 * by1
+    sigma2_sq = _blur_valid(y2 * y2, window_size, sigma) - by2 * by2
+    sigma12 = _blur_valid(y1 * y2, window_size, sigma) - by1 * by2
     return ((2.0 * mu12 + C1) * (2.0 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
     )

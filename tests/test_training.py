@@ -68,6 +68,56 @@ def test_ssim_properties():
     assert float(psnr(a, jnp.zeros_like(a))) < 15
 
 
+def _ssim_f64_reference(img1, img2, window_size=11, sigma=1.5):
+    """float64 NumPy SSIM oracle: separable Gaussian window, zero padding —
+    exactly the fused-ssim semantics ssim() implements."""
+    x = np.arange(window_size) - window_size // 2
+    g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    g = g / g.sum()
+
+    def blur(im):  # (C, H, W) f64, zero-padded same conv
+        from scipy.ndimage import correlate1d
+
+        im = correlate1d(im, g, axis=1, mode="constant", cval=0.0)
+        return correlate1d(im, g, axis=2, mode="constant", cval=0.0)
+
+    i1 = img1.astype(np.float64)
+    i2 = img2.astype(np.float64)
+    mu1, mu2 = blur(i1), blur(i2)
+    s1 = blur(i1 * i1) - mu1 * mu1
+    s2 = blur(i2 * i2) - mu2 * mu2
+    s12 = blur(i1 * i2) - mu1 * mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2)
+    )
+    return m.mean()
+
+
+def test_ssim_smooth_highres_precision():
+    """Regression for the TPU/f32 catastrophic-cancellation bug: on smooth
+    high-resolution renders the local variances are ~1e-8 while blur(x^2) is
+    ~0.25, so the uncentered E[x^2]-E[x]^2 form (and any bf16 conv) produced
+    SSIM far outside [-1, 1], corrupting the 1080p training loss. The
+    centered zero-padding-exact form must track a float64 oracle."""
+    from scipy.ndimage import zoom
+
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0.2, 0.8, size=(3, 17, 30)).astype(np.float32)
+    img = zoom(base, (1, 640 / 17, 960 / 30), order=1).astype(np.float32)
+    tgt = np.clip(
+        img + rng.normal(scale=0.03, size=img.shape), 0, 1
+    ).astype(np.float32)
+    got = float(ssim(jnp.asarray(img), jnp.asarray(tgt)))
+    want = float(_ssim_f64_reference(img, tgt))
+    assert -1.0 <= got <= 1.0
+    assert got == pytest.approx(want, abs=2e-4)
+    # identical smooth images: exactly the degenerate case that cancelled
+    assert float(ssim(jnp.asarray(img), jnp.asarray(img))) == pytest.approx(
+        1.0, abs=1e-4
+    )
+
+
 def test_adam_matches_torch():
     torch = pytest.importorskip("torch")
     n = 16
