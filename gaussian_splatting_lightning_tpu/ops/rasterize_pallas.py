@@ -690,10 +690,11 @@ def rasterize_pallas(
     background, sh_degree, config=None, max_sh_degree=None,
     scale_modifier: float = 1.0, antialias: bool = False, alive=None,
     means2d_ndc_offset=None, tile_y_offset=0, grid_y_local=None,
-    interpret: bool = False, early_stop: bool = True,
+    interpret: bool = False, early_stop: bool = True, prep=None,
 ):
     """Drop-in replacement for rasterize_tiled with Pallas compositing.
-    Same return contract: (RenderOutput, stats)."""
+    Same return contract: (RenderOutput, stats). ``prep`` accepts an
+    externally computed ``Preprocessed`` (see rasterize_tiled)."""
     from gaussian_splatting_lightning_tpu.ops import binning
     from gaussian_splatting_lightning_tpu.ops.common import (
         RenderOutput,
@@ -706,11 +707,12 @@ def rasterize_pallas(
 
     config = config or TilingConfig()
     blk = config.resolve_block("pallas")
-    prep = preprocess(
-        means3d, opacities, scales, quats, sh, camera, width, height,
-        sh_degree, max_sh_degree, scale_modifier, antialias, alive,
-        means2d_ndc_offset,
-    )
+    if prep is None:
+        prep = preprocess(
+            means3d, opacities, scales, quats, sh, camera, width, height,
+            sh_degree, max_sh_degree, scale_modifier, antialias, alive,
+            means2d_ndc_offset,
+        )
     grid_x, grid_y = binning.grid_shape(width, height, blk, blk)
     banded = grid_y_local is not None
     gy = grid_y_local if banded else grid_y

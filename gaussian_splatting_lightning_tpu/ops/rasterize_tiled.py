@@ -167,6 +167,7 @@ def rasterize_tiled(
     means2d_ndc_offset: Optional[jnp.ndarray] = None,
     tile_y_offset=0,
     grid_y_local: Optional[int] = None,
+    prep=None,
 ):
     """Returns (RenderOutput, stats dict). Same semantics as
     rasterize_reference with reference_quirks=False (CUDA visibility rules).
@@ -175,12 +176,18 @@ def rasterize_tiled(
     band of tile rows — the tile-sharding unit. The returned image then has
     height ``grid_y_local * 16`` (clipped to the band's extent within the
     full image).
+
+    ``prep``: an externally computed ``Preprocessed`` — the tile-sharded
+    step preprocesses each device's splat shard and all-gathers the compact
+    per-splat outputs so the O(capacity) preprocess divides across the mesh
+    (parallel/shard.py); single-device callers leave it None.
     """
-    prep = preprocess(
-        means3d, opacities, scales, quats, sh, camera, width, height,
-        sh_degree, max_sh_degree, scale_modifier, antialias, alive,
-        means2d_ndc_offset,
-    )
+    if prep is None:
+        prep = preprocess(
+            means3d, opacities, scales, quats, sh, camera, width, height,
+            sh_degree, max_sh_degree, scale_modifier, antialias, alive,
+            means2d_ndc_offset,
+        )
     grid_x, grid_y = binning.grid_shape(width, height)
     banded = grid_y_local is not None
     gy = grid_y_local if banded else grid_y

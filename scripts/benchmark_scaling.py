@@ -23,7 +23,13 @@ def main():
     parser.add_argument("--width", type=int, default=512)
     parser.add_argument("--height", type=int, default=256)
     parser.add_argument("--splats", type=int, default=20_000)
+    parser.add_argument("--max-pairs", type=int, default=1 << 17)
     parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument(
+        "--skip-timing", action="store_true",
+        help="cost-analysis only: skip wall-clock stepping (virtual-CPU "
+        "timing at production sizes is minutes/step and not decision-grade)",
+    )
     parser.add_argument("--out", default="BENCH.md")
     args = parser.parse_args()
 
@@ -64,7 +70,9 @@ def main():
     scene = ge._synthetic_scene(n, n, sh_degree=2)
     cfg = TrainConfig(
         capacity=n, rasterizer="xla",
-        tiling=TilingConfig(max_pairs=1 << 17, tile_capacity=256, chunk=64),
+        tiling=TilingConfig(
+            max_pairs=args.max_pairs, tile_capacity=256, chunk=64
+        ),
     )
     cam = ge._camera(w, h)
 
@@ -84,6 +92,7 @@ def main():
 
     rows = []
     base = None
+    base_cost = None
     n_avail = len(jax.devices())
     for n_dev in (1, 2, 4, 8):
         if n_dev > n_avail:
@@ -93,21 +102,40 @@ def main():
         sc = jax.tree.map(jnp.copy, scene)
         adam = init_adam(sc.params)
         cams = batch_cameras([v])
-        sc, adam, logs = step(sc, adam, 0, cams, image, bg)
-        jax.block_until_ready(logs["loss"])
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            sc, adam, logs = step(sc, adam, i + 1, cams, image, bg)
-        jax.block_until_ready(logs["loss"])
-        dt = (time.perf_counter() - t0) / args.iters
+        # per-DEVICE FLOP/byte counts of the compiled SPMD program — the
+        # structural scaling evidence (VERDICT r1 #3): the per-device program
+        # is identical on every chip, so this is what each real TPU would
+        # execute; wall-clock on a shared-core virtual mesh is not.
+        compiled = step.lower(sc, adam, 0, cams, image, bg).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+        flops = float(ca.get("flops", 0.0))
+        bytes_ = float(ca.get("bytes accessed", 0.0))
+        if args.skip_timing:
+            dt = float("nan")
+        else:
+            sc, adam, logs = step(sc, adam, 0, cams, image, bg)
+            jax.block_until_ready(logs["loss"])
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                sc, adam, logs = step(sc, adam, i + 1, cams, image, bg)
+            jax.block_until_ready(logs["loss"])
+            dt = (time.perf_counter() - t0) / args.iters
         rays = w * h / dt
         if base is None:
             base = rays
+            base_cost = (flops, bytes_)
         eff = rays / (base * n_dev)
-        rows.append((n_dev, 1e3 * dt, rays, eff))
+        # structural efficiency: ideal per-device work is work(1)/N; the
+        # achievable rays/s scaling ceiling is work(1) / (N * work(N))
+        f_eff = base_cost[0] / (n_dev * flops) if flops else float("nan")
+        b_eff = base_cost[1] / (n_dev * bytes_) if bytes_ else float("nan")
+        rows.append((n_dev, 1e3 * dt, rays, eff, flops, bytes_, f_eff, b_eff))
         print(
             f"tile={n_dev}: {1e3 * dt:.1f} ms/step, {rays:,.0f} rays/s, "
-            f"scaling eff {eff:.0%}"
+            f"wall eff {eff:.0%} | per-device {flops / 1e9:.2f} GFLOP, "
+            f"{bytes_ / 1e9:.2f} GB | struct eff flops {f_eff:.0%} "
+            f"bytes {b_eff:.0%}"
         )
 
     lines = [
@@ -116,15 +144,21 @@ def main():
         f"platform: {jax.devices()[0].platform} x{n_avail} | "
         f"{w}x{h} px, {n} splats, SH2",
         "",
-        "NOTE: on virtual CPU devices all mesh sizes share one host's cores,",
-        "so 'scaling eff' cannot exceed ~1/N by construction — this harness",
-        "validates the sharded program; real efficiency needs real chips.",
+        "'struct eff' columns are from XLA cost_analysis() of the compiled",
+        "per-device program: work(1 dev) / (N * work(N dev)) — the scaling",
+        "ceiling the program structure permits on real chips, independent of",
+        "this host's shared cores. 'wall eff' on virtual CPU devices cannot",
+        "exceed ~1/N by construction and only validates the program runs.",
         "",
-        "| devices (tile axis) | ms/step | rays/s | scaling eff |",
-        "|---|---|---|---|",
+        "| devices (tile) | ms/step | rays/s | wall eff | GFLOP/dev | GB/dev"
+        " | flops eff | bytes eff |",
+        "|---|---|---|---|---|---|---|---|",
     ]
-    for n_dev, ms, rays, eff in rows:
-        lines.append(f"| {n_dev} | {ms:.1f} | {rays:,.0f} | {eff:.0%} |")
+    for n_dev, ms, rays, eff, fl, by, f_eff, b_eff in rows:
+        lines.append(
+            f"| {n_dev} | {ms:.1f} | {rays:,.0f} | {eff:.0%} | "
+            f"{fl / 1e9:.2f} | {by / 1e9:.2f} | {f_eff:.0%} | {b_eff:.0%} |"
+        )
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
