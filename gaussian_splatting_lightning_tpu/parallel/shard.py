@@ -305,9 +305,12 @@ def make_sharded_train_step(
                     alive=live.alive, means2d_ndc_offset=offset, prep=prep,
                     tile_y_offset=ax_t * gy_local, grid_y_local=gy_local,
                 )
-                return out.image, out.radii, stats["num_dropped_pairs"]
+                return (
+                    out.image, out.radii,
+                    stats["num_dropped_pairs"], stats["num_pairs"],
+                )
 
-            bands, radii, dropped = jax.vmap(render_one)(
+            bands, radii, dropped, n_pairs = jax.vmap(render_one)(
                 cameras, backgrounds, offsets
             )  # bands: (B_local, 3, band_h, W)
             l1_p, ssim_p, mse_p = _band_loss_partials(
@@ -333,9 +336,9 @@ def make_sharded_train_step(
                     10.0 * jnp.log10(1.0 / jnp.maximum(mse_v, 1e-12))
                 ),
             }
-            return loss_local, (radii, logs, jnp.sum(dropped))
+            return loss_local, (radii, logs, jnp.sum(dropped), jnp.max(n_pairs))
 
-        grads, (radii, logs, dropped) = jax.grad(
+        grads, (radii, logs, dropped, n_pairs) = jax.grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(scene.params, offset0)
         param_grads, screen_grads = grads
@@ -377,6 +380,12 @@ def make_sharded_train_step(
         logs = {k: jax.lax.pmean(v, ("view", "tile")) for k, v in logs.items()}
         logs["n_gaussians"] = scene.n_alive()
         logs["num_dropped_pairs"] = jax.lax.psum(dropped, ("view", "tile"))
+        # full-image-equivalent pair count for the trainer's budget adaption:
+        # the band budget is max_pairs/n_tile, so scale the worst band back up
+        # (conservative upper bound on the total)
+        logs["num_pairs"] = (
+            jax.lax.pmax(n_pairs, ("view", "tile")) * n_tile
+        )
         return scene, adam, logs
 
     sharded = jax.shard_map(

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import math
 import time
 from pathlib import Path
 from typing import Optional
@@ -73,6 +74,10 @@ class TrainConfig:
     overflow_check_interval: int = 50  # steps between host-side budget checks
     # (checking every step would block the host on the device result and
     # break async dispatch pipelining — VERDICT r1 weak #3)
+    shrink_patience: int = 8  # consecutive budget checks below max_pairs/4
+    # before the pair budget shrinks to 2x the observed count (hysteresis)
+    max_nan_rollbacks: int = 3  # failure recovery: non-finite loss restores
+    # the newest checkpoint; abort after this many rollbacks
     batch_views: int = 1  # views per train step (vmap); 1 == reference loop
     use_exposure: bool = False  # per-view affine color compensation (C18)
     exposure_lr: float = 0.001
@@ -183,6 +188,7 @@ def make_train_step(
                 stats = {
                     "num_dropped_pairs": jnp.sum(stats["num_dropped_pairs"]),
                     "num_tile_overflow": jnp.max(stats["num_tile_overflow"]),
+                    "num_pairs": jnp.max(stats["num_pairs"]),
                 }
             else:
                 rendered, radii, stats = render_one(
@@ -220,6 +226,7 @@ def make_train_step(
         logs["n_gaussians"] = scene.n_alive()
         logs["num_dropped_pairs"] = stats["num_dropped_pairs"]
         logs["num_tile_overflow"] = stats["num_tile_overflow"]
+        logs["num_pairs"] = stats["num_pairs"]
         if exp_mat is not None:
             return scene, adam, logs, exp_grad
         return scene, adam, logs
@@ -326,6 +333,9 @@ class Trainer:
         self._perm: list = []
         self._view_cache: dict = {}
         self.history: list = []
+        self._shrink_streak = 0
+        self._nan_rollbacks = 0
+        self._last_ckpt: Optional[Path] = None
 
     def _build_steps(self):
         if self.mesh is not None:
@@ -375,9 +385,62 @@ class Trainer:
                 f"[tiling] step {self.step}: tile capacity overflow "
                 f"(+{overflow}), growing tile_capacity to {cap} (recompile)"
             )
+        # shrink with hysteresis: the budget sizes every per-pair stage
+        # (expansion, sort, scatters, gather), so a budget grown for a dense
+        # past phase — or a generous initial guess — taxes every later step.
+        # Shrink to 2x the observed count only after `shrink_patience`
+        # consecutive checks below max_pairs/4 (so growth right after a
+        # shrink is impossible without the scene actually densifying 2x).
+        pairs = int(logs.get("num_pairs", -1))
+        if grown is None and pairs >= 0:
+            if pairs * 4 < tiling.max_pairs and tiling.max_pairs > 16384:
+                self._shrink_streak += 1
+            else:
+                self._shrink_streak = 0
+            if self._shrink_streak >= self.cfg.shrink_patience:
+                new_pairs = max(16384, -(-pairs * 2 // 8192) * 8192)
+                if new_pairs < tiling.max_pairs:
+                    grown = dataclasses.replace(tiling, max_pairs=new_pairs)
+                    self.log_fn(
+                        f"[tiling] step {self.step}: pair budget idle "
+                        f"({pairs} used of {tiling.max_pairs}), shrinking "
+                        f"max_pairs to {new_pairs} (recompile)"
+                    )
+                self._shrink_streak = 0
+        else:
+            self._shrink_streak = 0
         if grown is not None:
             self.cfg = dataclasses.replace(self.cfg, tiling=grown)
             self._build_steps()
+
+    def _check_finite(self, logs) -> bool:
+        """Failure detection / recovery (SURVEY §5 A2 — absent upstream: a
+        crashed reference run loses everything but the last MLflow PLY).
+        A non-finite loss (overflowed splat geometry, poisoned Adam moments)
+        restores the newest on-disk checkpoint and re-enters training from
+        its step; without one, training re-initializes from step 0 state is
+        impossible, so abort with a clear error. Returns True if rolled
+        back."""
+        if math.isfinite(float(logs["loss"])):
+            return False
+        self._nan_rollbacks += 1
+        if self._nan_rollbacks > self.cfg.max_nan_rollbacks:
+            raise RuntimeError(
+                f"non-finite loss at step {self.step}: exceeded "
+                f"{self.cfg.max_nan_rollbacks} checkpoint rollbacks"
+            )
+        if self._last_ckpt is None:
+            raise RuntimeError(
+                f"non-finite loss at step {self.step} and no checkpoint to "
+                "roll back to (lower learning rates or densify thresholds)"
+            )
+        self.log_fn(
+            f"[recover] step {self.step}: non-finite loss, restoring "
+            f"{self._last_ckpt.name} "
+            f"(rollback {self._nan_rollbacks}/{self.cfg.max_nan_rollbacks})"
+        )
+        self.restore_checkpoint(self._last_ckpt)
+        return True
 
     # -- view sampling: fresh permutations, one view per step --------------
     def _next_view(self):
@@ -491,6 +554,8 @@ class Trainer:
                     self.scene, self.adam, self.step, cam, img, bg,
                 )
             if self.step % check_interval == 0:
+                if self._check_finite(logs):
+                    continue  # rolled back; re-enter the loop from the ckpt
                 self._maybe_grow_budgets(logs)
             if self.step % self.cfg.log_interval == 0:
                 logs = {k: float(v) for k, v in logs.items()}
@@ -579,6 +644,7 @@ class Trainer:
             "step": self.step,
         }
         ocp.PyTreeCheckpointer().save(path, ckpt, force=True)
+        self._last_ckpt = path
 
     def restore_checkpoint(self, path):
         import orbax.checkpoint as ocp

@@ -2,6 +2,7 @@
 densify semantics, and a synthetic end-to-end training run."""
 
 import dataclasses
+import math
 
 import numpy as np
 import pytest
@@ -521,3 +522,88 @@ def test_adaptive_pair_budget_grows_on_overflow():
     tr = Trainer(cfg, scene, 4.0, views, log_fn=lambda *a: None)
     tr.train()
     assert tr.cfg.tiling.max_pairs > 128  # grew past the tiny initial budget
+
+
+def test_adaptive_pair_budget_shrinks_when_idle():
+    """A budget grown for a dense past phase (or a generous initial guess)
+    sizes every per-pair stage; after `shrink_patience` consecutive checks
+    below max_pairs/4 it shrinks to 2x the observed count."""
+    gt, views = _synthetic_views(n_views=3, w=48, h=32)
+    scene = from_points(
+        np.asarray(gt.params.xyz), np.full((40, 3), 0.5, np.float32), 64, 1
+    )
+    cfg = TrainConfig(
+        num_iters=12, capacity=64, log_interval=100, valid_interval=10_000,
+        checkpoint_interval=10_000, adaptive_pairs=True,
+        overflow_check_interval=1, shrink_patience=3,
+        tiling=TilingConfig(max_pairs=1 << 17, tile_capacity=64, chunk=32),
+        densify=DensifyConfig(densify_since=100, densify_until=0),
+    )
+    tr = Trainer(cfg, scene, 4.0, views, log_fn=lambda *a: None)
+    tr.train()
+    assert tr.cfg.tiling.max_pairs < 1 << 17
+    assert tr.cfg.tiling.max_pairs >= 16384  # floor
+
+
+def test_nan_loss_rolls_back_to_checkpoint(tmp_path):
+    """Failure recovery (SURVEY §5 A2): a non-finite loss restores the newest
+    checkpoint and training continues; it aborts only after
+    max_nan_rollbacks."""
+    gt, views = _synthetic_views(n_views=3, w=48, h=32)
+    scene = from_points(
+        np.asarray(gt.params.xyz), np.full((40, 3), 0.5, np.float32), 64, 1
+    )
+    cfg = TrainConfig(
+        num_iters=20, capacity=64, log_interval=100, valid_interval=10_000,
+        checkpoint_interval=5, adaptive_pairs=False,
+        overflow_check_interval=1,
+        tiling=TilingConfig(max_pairs=1 << 14, tile_capacity=64, chunk=32),
+        densify=DensifyConfig(densify_since=100, densify_until=0),
+    )
+    tr = Trainer(
+        cfg, scene, 4.0, views, out_dir=str(tmp_path), log_fn=lambda *a: None
+    )
+    orig = tr._train_step
+    calls = {"n": 0}
+
+    def poisoned(scene_, adam_, step_, cam_, img_, bg_):
+        scene_, adam_, logs = orig(scene_, adam_, step_, cam_, img_, bg_)
+        calls["n"] += 1
+        if calls["n"] == 13:  # after the step-5 and step-10 checkpoints
+            logs = dict(logs)
+            logs["loss"] = jnp.asarray(np.nan, jnp.float32)
+        return scene_, adam_, logs
+
+    tr._train_step = poisoned
+    tr.train()
+    assert tr._nan_rollbacks == 1
+    assert tr.step > 10  # resumed from ckpt-10 and kept going
+    assert math.isfinite(float(tr.history[-1]["loss"]))
+
+
+def test_nan_loss_without_checkpoint_aborts():
+    import pytest as _pytest
+
+    gt, views = _synthetic_views(n_views=2, w=48, h=32)
+    scene = from_points(
+        np.asarray(gt.params.xyz), np.full((40, 3), 0.5, np.float32), 64, 1
+    )
+    cfg = TrainConfig(
+        num_iters=5, capacity=64, log_interval=100, valid_interval=10_000,
+        checkpoint_interval=10_000, adaptive_pairs=False,
+        overflow_check_interval=1,
+        tiling=TilingConfig(max_pairs=1 << 14, tile_capacity=64, chunk=32),
+        densify=DensifyConfig(densify_since=100, densify_until=0),
+    )
+    tr = Trainer(cfg, scene, 4.0, views, log_fn=lambda *a: None)
+    orig = tr._train_step
+
+    def poisoned(*a):
+        scene_, adam_, logs = orig(*a)
+        logs = dict(logs)
+        logs["loss"] = jnp.asarray(np.inf, jnp.float32)
+        return scene_, adam_, logs
+
+    tr._train_step = poisoned
+    with _pytest.raises(RuntimeError, match="non-finite loss"):
+        tr.train()
