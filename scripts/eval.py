@@ -20,7 +20,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("checkpoint")
     parser.add_argument("--colmap", required=True)
-    parser.add_argument("--image-folder", required=True)
+    parser.add_argument("--image-folder", default=None,
+                        help="required for COLMAP scenes; unused for "
+                        "Blender transforms.json scenes")
     parser.add_argument("--resize-to", type=int, default=None)
     parser.add_argument("--downscale", type=float, default=None)
     parser.add_argument("--holdout-every", type=int, default=None,
@@ -50,11 +52,28 @@ def main():
 
     setup_compilation_cache()
     scene = load_ply(args.checkpoint)
-    ds = ColmapDataset(
-        args.colmap, args.image_folder, image_idx=args.idx_file,
-        resize_to=args.resize_to, downscale=args.downscale,
-        white_background=args.white_background, preload_data=False,
+    from gaussian_splatting_lightning_tpu.data.nerf import (
+        NerfDataset,
+        is_nerf_dataset,
     )
+
+    if is_nerf_dataset(args.colmap):
+        from pathlib import Path
+
+        split = "test" if (
+            Path(args.colmap) / "transforms_test.json"
+        ).exists() else "train"
+        ds = NerfDataset(
+            args.colmap, split=split,
+            resize_to=args.resize_to, downscale=args.downscale,
+            white_background=args.white_background, preload_data=False,
+        )
+    else:
+        ds = ColmapDataset(
+            args.colmap, args.image_folder, image_idx=args.idx_file,
+            resize_to=args.resize_to, downscale=args.downscale,
+            white_background=args.white_background, preload_data=False,
+        )
     indices = list(range(len(ds)))
     if args.holdout_every:
         indices = indices[:: args.holdout_every]

@@ -23,7 +23,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("checkpoint")
     parser.add_argument("--colmap", required=True)
-    parser.add_argument("--image-folder", required=True)
+    parser.add_argument("--image-folder", default=None,
+                        help="required for COLMAP scenes; unused for "
+                        "Blender transforms.json scenes")
     parser.add_argument("--image-idx", type=int, default=None)
     parser.add_argument("--resize-to", type=int, default=None)
     parser.add_argument("--downscale", type=float, default=None)
@@ -53,14 +55,27 @@ def main():
         f"{int(scene.active_sh_degree)}"
     )
 
-    ds = ColmapDataset(
-        args.colmap, args.image_folder,
-        resize_to=args.resize_to, downscale=args.downscale,
-        white_background=args.white_background, preload_data=False,
+    from gaussian_splatting_lightning_tpu.data.nerf import (
+        NerfDataset,
+        is_nerf_dataset,
     )
-    index = 0
-    if args.image_idx is not None:
-        index = ds.image_indices.index(args.image_idx)
+
+    if is_nerf_dataset(args.colmap):
+        ds = NerfDataset(
+            args.colmap, split="train",
+            resize_to=args.resize_to, downscale=args.downscale,
+            white_background=args.white_background, preload_data=False,
+        )
+        index = args.image_idx or 0
+    else:
+        ds = ColmapDataset(
+            args.colmap, args.image_folder,
+            resize_to=args.resize_to, downscale=args.downscale,
+            white_background=args.white_background, preload_data=False,
+        )
+        index = 0
+        if args.image_idx is not None:
+            index = ds.image_indices.index(args.image_idx)
     view = ds[index]
     h, w = view.image.shape[-2:]
     cam = Camera(

@@ -58,35 +58,65 @@ def main():
         json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
     )
 
-    rec = read_reconstruction(cfg.data.colmap_path)
-    norm = get_nerf_norm(rec)
+    d = cfg.data
+    from gaussian_splatting_lightning_tpu.data.nerf import is_nerf_dataset
+
+    if is_nerf_dataset(d.colmap_path):
+        # Blender / NeRF-synthetic scene (the reference's unfinished
+        # "support nerf dataset" roadmap item): transforms_*.json cameras,
+        # RGBA over background, SfM-free random-point initialization.
+        from gaussian_splatting_lightning_tpu.data.nerf import (
+            NerfDataset,
+            nerf_norm_from_views,
+            random_init_points,
+        )
+
+        common = dict(
+            scene_path=d.colmap_path, resize_to=d.resize_to,
+            downscale=d.downscale, white_background=d.white_background,
+            z_near=d.z_near, z_far=d.z_far,
+        )
+        train_ds = NerfDataset(split="train", **common)
+        train_views = [train_ds[i] for i in range(len(train_ds))]
+        try:
+            valid_ds = NerfDataset(split="val", **common)
+            valid_views = [valid_ds[i] for i in range(len(valid_ds))]
+        except FileNotFoundError:
+            k = d.holdout_every or 8
+            valid_views = train_views[::k]
+            train_views = [v for i, v in enumerate(train_views) if i % k]
+        norm = nerf_norm_from_views(train_views)
+        pts_xyz, pts_rgb = random_init_points(
+            n=min(cfg.capacity, 100_000), seed=cfg.train.seed
+        )
+    else:
+        rec = read_reconstruction(d.colmap_path)
+        norm = get_nerf_norm(rec)
+        common = dict(
+            colmap_path=d.colmap_path, image_folder=d.image_folder,
+            mask_folder=d.mask_folder, resize_to=d.resize_to,
+            downscale=d.downscale, white_background=d.white_background,
+            z_near=d.z_near, z_far=d.z_far, reconstruction=rec,
+        )
+        if d.train_idx_file:
+            train_ds = ColmapDataset(image_idx=d.train_idx_file, **common)
+            valid_ds = ColmapDataset(image_idx=d.valid_idx_file, **common)
+            train_views = [train_ds[i] for i in range(len(train_ds))]
+            valid_views = [valid_ds[i] for i in range(len(valid_ds))]
+        else:
+            ds = ColmapDataset(**common)
+            views = [ds[i] for i in range(len(ds))]
+            k = d.holdout_every or 8
+            valid_views = views[::k]
+            train_views = [v for i, v in enumerate(views) if i % k]
+        pts_xyz, pts_rgb = rec.points_xyz, rec.points_rgb
     print(f"scene radius (spatial scale): {norm['radius']:.3f}")
 
-    d = cfg.data
-    common = dict(
-        colmap_path=d.colmap_path, image_folder=d.image_folder,
-        mask_folder=d.mask_folder, resize_to=d.resize_to,
-        downscale=d.downscale, white_background=d.white_background,
-        z_near=d.z_near, z_far=d.z_far, reconstruction=rec,
-    )
-    if d.train_idx_file:
-        train_ds = ColmapDataset(image_idx=d.train_idx_file, **common)
-        valid_ds = ColmapDataset(image_idx=d.valid_idx_file, **common)
-        train_views = [train_ds[i] for i in range(len(train_ds))]
-        valid_views = [valid_ds[i] for i in range(len(valid_ds))]
-    else:
-        ds = ColmapDataset(**common)
-        views = [ds[i] for i in range(len(ds))]
-        k = d.holdout_every or 8
-        valid_views = views[::k]
-        train_views = [v for i, v in enumerate(views) if i % k]
-
     scene = from_points(
-        rec.points_xyz, rec.points_rgb, capacity=cfg.capacity,
-        sh_degree=cfg.sh_degree,
+        pts_xyz, pts_rgb, capacity=cfg.capacity, sh_degree=cfg.sh_degree,
     )
     print(
-        f"init: {len(rec.points_xyz)} points, capacity {cfg.capacity}, "
+        f"init: {len(pts_xyz)} points, capacity {cfg.capacity}, "
         f"{len(train_views)} train / {len(valid_views)} valid views"
     )
 
