@@ -220,6 +220,39 @@ def test_trainer_cli_path_matches_single_device():
     )
 
 
+def test_process_local_batch_matches_device_put_path():
+    """The multi-host input path (_global_view_batch: process-local rows +
+    make_array_from_process_local_data) must build the same sharded batch the
+    single-process device_put path builds (with process_count==1 the local
+    slice IS the global batch — the cross-host layout is what
+    jax.make_array_from_process_local_data guarantees)."""
+    from gaussian_splatting_lightning_tpu.training import Trainer
+
+    w, h = 96, 64
+    views = _views_for_trainer(4, w, h)
+    cfg = TrainConfig(
+        num_iters=2, capacity=128, log_interval=1, valid_interval=10_000,
+        checkpoint_interval=10_000, tiling=TILING, batch_views=2,
+        densify=DensifyConfig(densify_since=100, densify_until=0),
+    )
+    mesh = make_mesh(view=2, tile=4)
+    tr = Trainer(cfg, _scene(), 4.0, views, log_fn=lambda *a: None, mesh=mesh)
+    idxs = [0, 1, 2, 3]
+    cam_g, img_g, bg_g = tr._global_view_batch(idxs)
+    dev_views = [tr._device_view(i) for i in idxs]
+    cam_d, img_d, bg_d = jax.tree.map(lambda *xs: jnp.stack(xs), *dev_views)
+    np.testing.assert_array_equal(np.asarray(img_g), np.asarray(img_d))
+    np.testing.assert_array_equal(
+        np.asarray(cam_g.viewmatrix), np.asarray(cam_d.viewmatrix)
+    )
+    np.testing.assert_array_equal(np.asarray(bg_g), np.asarray(bg_d))
+    # the assembled batch drives a real sharded step
+    adam = init_adam(tr.scene.params)
+    step_fn = tr._train_step
+    _, _, logs = step_fn(tr.scene, adam, 0, cam_g, img_g, bg_g)
+    assert np.isfinite(float(logs["loss"]))
+
+
 def test_pallas_banded_under_shard_map_interpret():
     """Pallas compositing inside shard_map with a traced tile_y_offset
     (banded tile sharding), interpret mode: matches the single-device XLA
