@@ -32,6 +32,8 @@ class ViewItem:
     tanfovy: float
     background: np.ndarray  # (3,)
     name: str = ""
+    depth: Optional[np.ndarray] = None  # (1, H, W) inverse depth, for the
+    # optional depth-regularization loss (TrainConfig.w_depth)
 
 
 def _load_image(path: Path) -> np.ndarray:
@@ -58,6 +60,7 @@ class ColmapDataset:
         image_folder: str,
         image_idx: Optional[Union[Sequence[int], str]] = None,
         mask_folder: Optional[str] = None,
+        depth_folder: Optional[str] = None,
         resize_to: Optional[int] = None,
         downscale: Optional[float] = None,
         white_background: bool = False,
@@ -68,6 +71,7 @@ class ColmapDataset:
     ):
         self.image_folder = Path(image_folder)
         self.mask_folder = Path(mask_folder) if mask_folder else None
+        self.depth_folder = Path(depth_folder) if depth_folder else None
         self.resize_to = resize_to
         self.downscale = downscale
         self.z_near, self.z_far = z_near, z_far
@@ -119,6 +123,10 @@ class ColmapDataset:
         full_proj = world_view @ projection
         campos = np.linalg.inv(world_view)[3, :3]
 
+        depth = None
+        if self.depth_folder is not None:
+            depth = self._load_depth(img_info.name, image.shape[-2:])
+
         return ViewItem(
             image=image,
             viewmatrix=world_view.astype(np.float32),
@@ -128,7 +136,20 @@ class ColmapDataset:
             tanfovy=float((cam_info.height * 0.5) / cam_info.fy),
             background=self.background,
             name=img_info.name,
+            depth=depth,
         )
+
+    def _load_depth(self, image_name: str, hw) -> np.ndarray:
+        """(1, H, W) inverse-depth map for the depth-regularization loss:
+        `<stem>.npy` (float inverse depth) next to each image in
+        depth_folder. Resized to the training resolution."""
+        h, w = hw
+        path = (self.depth_folder / image_name).with_suffix(".npy")
+        depth = np.load(path).astype(np.float32)
+        if depth.ndim == 3:
+            depth = depth.squeeze()
+        depth = _resize(depth, w, h)
+        return depth[None].astype(np.float32)
 
     def _load_image_to_array(self, image_name: str) -> np.ndarray:
         image = _load_image(self.image_folder / image_name)

@@ -29,6 +29,8 @@ class DataConfig:
     train_idx_file: Optional[str] = None
     valid_idx_file: Optional[str] = None
     mask_folder: Optional[str] = None
+    depth_folder: Optional[str] = None  # per-view <stem>.npy inverse-depth
+    # maps for the optional depth-regularization loss (train.w_depth)
     resize_to: Optional[int] = None
     downscale: Optional[float] = None
     white_background: bool = False

@@ -62,6 +62,9 @@ class TrainConfig:
 
     num_iters: int = 30_000
     w_ssim: float = 0.2
+    w_depth: float = 0.0  # inverse-depth L1 against dataset depth maps —
+    # the reference's unfinished "add depth regularization" roadmap item
+    # (reference README.md TODO); requires data.depth_folder
     log_interval: int = 100
     valid_interval: int = 1000
     checkpoint_interval: int = 5000
@@ -152,7 +155,7 @@ def make_train_step(
 
     def train_step(scene: gm.GaussianScene, adam: AdamState, step, camera: Camera,
                    image: jnp.ndarray, background: jnp.ndarray,
-                   exp_mat=None):
+                   exp_mat=None, depth_target=None):
         off_shape = (scene.capacity, 2)
         if batched:
             off_shape = (cfg.batch_views,) + off_shape
@@ -174,15 +177,27 @@ def make_train_step(
                     )
 
                     rendered = apply_exposure(exp_one, rendered)
-                return rendered, out.radii, stats
+                return rendered, out.depth, out.radii, stats
+
+            def full_loss(rendered, invdepth, tgt, tgt_depth):
+                loss, logs = photometric_loss(rendered, tgt, cfg.w_ssim)
+                if cfg.w_depth > 0.0 and tgt_depth is not None:
+                    # inverse-depth L1 (the dr_aa rasterizer's depth output
+                    # is sum(w/z); depth maps store inverse depth) — the
+                    # reference's unfinished "add depth regularization" TODO
+                    d_l1 = jnp.mean(jnp.abs(invdepth - tgt_depth))
+                    loss = loss + cfg.w_depth * d_l1
+                    logs = dict(logs, loss=loss, depth_l1=d_l1)
+                return loss, logs
 
             if batched:
-                rendered, radii, stats = jax.vmap(
+                rendered, invd, radii, stats = jax.vmap(
                     render_one, in_axes=(0, 0, 0, None if exp_mat is None else 0)
                 )(camera, background, offset, exp_mat)
                 losses, logs = jax.vmap(
-                    lambda img, tgt: photometric_loss(img, tgt, cfg.w_ssim)
-                )(rendered, image)
+                    lambda img, dpt, tgt, tgtd: full_loss(img, dpt, tgt, tgtd),
+                    in_axes=(0, 0, 0, None if depth_target is None else 0),
+                )(rendered, invd, image, depth_target)
                 loss = jnp.mean(losses)
                 logs = jax.tree.map(jnp.mean, logs)
                 stats = {
@@ -191,10 +206,10 @@ def make_train_step(
                     "num_pairs": jnp.max(stats["num_pairs"]),
                 }
             else:
-                rendered, radii, stats = render_one(
+                rendered, invd, radii, stats = render_one(
                     camera, background, offset, exp_mat
                 )
-                loss, logs = photometric_loss(rendered, image, cfg.w_ssim)
+                loss, logs = full_loss(rendered, invd, image, depth_target)
             return loss, (radii, logs, stats)
 
         argnums = (0, 1, 2) if exp_mat is not None else (0, 1)
@@ -336,6 +351,11 @@ class Trainer:
         self._shrink_streak = 0
         self._nan_rollbacks = 0
         self._last_ckpt: Optional[Path] = None
+        self._depth_cache: dict = {}
+        if cfg.w_depth > 0 and mesh is not None:
+            raise NotImplementedError(
+                "depth regularization is not supported on the sharded path"
+            )
 
     def _build_steps(self):
         if self.mesh is not None:
@@ -463,6 +483,18 @@ class Trainer:
             self._view_cache[idx] = cached
         return cached
 
+    def _device_depth(self, idx):
+        cached = self._depth_cache.get(idx)
+        if cached is None:
+            depth = self.train_views[idx].depth
+            if depth is None:
+                raise ValueError(
+                    "w_depth > 0 requires depth maps (data.depth_folder)"
+                )
+            cached = jnp.asarray(depth)
+            self._depth_cache[idx] = cached
+        return cached
+
     def _camera_of(self, view) -> Camera:
         return Camera(
             viewmatrix=jnp.asarray(view.viewmatrix),
@@ -573,6 +605,13 @@ class Trainer:
         for _ in range(num_iters):
             self.maybe_densify()
             view_idx, cam, img, bg = self._step_inputs()
+            extra = {}
+            if self.cfg.w_depth > 0:
+                idx_list = np.atleast_1d(np.asarray(view_idx)).tolist()
+                depths = [self._device_depth(i) for i in idx_list]
+                extra["depth_target"] = (
+                    depths[0] if np.ndim(view_idx) == 0 else jnp.stack(depths)
+                )
             if self.exposure is not None:
                 from gaussian_splatting_lightning_tpu.training.exposure import (
                     exposure_update_jit,
@@ -580,14 +619,14 @@ class Trainer:
 
                 self.scene, self.adam, logs, exp_grad = self._train_step(
                     self.scene, self.adam, self.step, cam, img, bg,
-                    self.exposure.params[view_idx],
+                    self.exposure.params[view_idx], **extra,
                 )
                 self.exposure = exposure_update_jit(
                     self.exposure, view_idx, exp_grad, self.cfg.exposure_lr
                 )
             else:
                 self.scene, self.adam, logs = self._train_step(
-                    self.scene, self.adam, self.step, cam, img, bg,
+                    self.scene, self.adam, self.step, cam, img, bg, **extra,
                 )
             if self.step % check_interval == 0:
                 if self._check_finite(logs):

@@ -94,7 +94,8 @@ def main():
         norm = get_nerf_norm(rec)
         common = dict(
             colmap_path=d.colmap_path, image_folder=d.image_folder,
-            mask_folder=d.mask_folder, resize_to=d.resize_to,
+            mask_folder=d.mask_folder, depth_folder=d.depth_folder,
+            resize_to=d.resize_to,
             downscale=d.downscale, white_background=d.white_background,
             z_near=d.z_near, z_far=d.z_far, reconstruction=rec,
         )

@@ -253,6 +253,22 @@ def test_dataset_builds_items(tmp_path):
     for i in range(0, 6, 2):
         assert sorted(draws[i : i + 2]) == [0, 1]
 
+    # depth maps: <stem>.npy inverse depth, resized to the training size
+    depth_dir = tmp_path / "depths"
+    depth_dir.mkdir()
+    for name in ("a", "b"):
+        np.save(
+            depth_dir / f"{name}.npy",
+            RNG.uniform(0.1, 1.0, size=(48, 64)).astype(np.float32),
+        )
+    ds_d = ColmapDataset(
+        tmp_path, img_dir, depth_folder=depth_dir, downscale=0.5,
+        white_background=True,
+    )
+    item_d = ds_d[0]
+    assert item_d.depth.shape == (1, 24, 32)
+    assert item_d.depth.dtype == np.float32
+
 
 def test_native_knn_matches_kdtree():
     from gaussian_splatting_lightning_tpu.ops.knn import _load_native

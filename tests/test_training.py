@@ -581,6 +581,55 @@ def test_nan_loss_rolls_back_to_checkpoint(tmp_path):
     assert math.isfinite(float(tr.history[-1]["loss"]))
 
 
+def test_depth_regularization_loss_decreases():
+    """w_depth > 0 adds an inverse-depth L1 against dataset depth maps —
+    the reference's unfinished "add depth regularization" roadmap item
+    (reference README.md TODO). GT-rendered inverse depth supervises a
+    jittered init; the depth term must appear in the logs and decrease."""
+    import dataclasses as _dc
+
+    gt, views = _synthetic_views(n_views=4, w=64, h=48)
+    tiling = TilingConfig(max_pairs=1 << 14, tile_capacity=128, chunk=32)
+    # attach GT inverse-depth maps to each view
+    from gaussian_splatting_lightning_tpu.core.camera import Camera
+
+    for v in views:
+        cam = Camera(
+            viewmatrix=jnp.asarray(v.viewmatrix),
+            projmatrix=jnp.asarray(v.projmatrix),
+            campos=jnp.asarray(v.campos),
+            tanfovx=jnp.asarray(np.float32(v.tanfovx)),
+            tanfovy=jnp.asarray(np.float32(v.tanfovy)),
+        )
+        out, _ = render_scene(gt, cam, 64, 48, jnp.zeros(3), tiling)
+        v.depth = np.asarray(out.depth)
+
+    xyz0 = np.asarray(gt.params.xyz) + RNG.normal(
+        size=(40, 3)
+    ).astype(np.float32) * 0.05
+    scene = from_points(xyz0, np.full((40, 3), 0.5, np.float32), 64, 1)
+    cfg = TrainConfig(
+        num_iters=60, capacity=64, log_interval=10, valid_interval=10_000,
+        checkpoint_interval=10_000, w_depth=0.2, tiling=tiling,
+        densify=DensifyConfig(densify_since=100, densify_until=0),
+        optimizer=OptimizerConfig(xyz_lr_max_steps=60),
+    )
+    tr = Trainer(cfg, scene, 4.0, views, log_fn=lambda *a: None)
+    tr.train()
+    assert "depth_l1" in tr.history[0]
+    assert tr.history[-1]["depth_l1"] < tr.history[0]["depth_l1"] * 0.8
+    assert tr.history[-1]["loss"] < tr.history[0]["loss"]
+
+    # batched path carries per-view depth maps too
+    cfg_b = _dc.replace(cfg, batch_views=2, num_iters=6, log_interval=2)
+    tr_b = Trainer(cfg_b, from_points(
+        xyz0, np.full((40, 3), 0.5, np.float32), 64, 1
+    ), 4.0, views, log_fn=lambda *a: None)
+    tr_b.train()
+    assert "depth_l1" in tr_b.history[0]
+    assert np.isfinite(tr_b.history[-1]["depth_l1"])
+
+
 def test_nan_loss_without_checkpoint_aborts():
     import pytest as _pytest
 
