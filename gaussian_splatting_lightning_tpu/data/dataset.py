@@ -87,8 +87,14 @@ class ColmapDataset:
             self.image_indices = sorted(self.reconstruction.images.keys())
         self._cache = {}
         if preload_data:
-            for i in range(len(self)):
-                self._cache[i] = self.build_item(i)
+            # threaded preload: image decode + resize dominate and release
+            # the GIL (imageio/cv2), so the reference's serial preload loop
+            # (colmap_dataset.py:60-61) parallelizes across cores
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                for i, item in enumerate(pool.map(self.build_item, range(len(self)))):
+                    self._cache[i] = item
 
     @staticmethod
     def _load_image_idx(image_idx) -> Optional[List[int]]:
