@@ -46,6 +46,8 @@ def _load_image(path: Path) -> np.ndarray:
 
 
 def _resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    if img.shape[1] == w and img.shape[0] == h:
+        return img
     import cv2
 
     return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
@@ -165,8 +167,8 @@ class ColmapDataset:
         elif self.resize_to is not None:
             scale = self.resize_to / max(h, w)
             h, w = int(h * scale), int(w * scale)
-        else:
-            raise ValueError("either 'downscale' or 'resize_to' must be set")
+        # neither set: keep native resolution (reference resizes only when
+        # configured, colmap_dataset.py:124-135)
         image = _resize(image, w, h).astype(np.float32) / 255.0
         if self.mask_folder is not None:
             mask = _load_image(self.mask_folder / image_name)
