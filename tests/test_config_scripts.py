@@ -22,6 +22,17 @@ def test_load_default_config():
     assert cfg.data.resize_to == 1600
 
 
+def test_all_committed_configs_load():
+    from gaussian_splatting_lightning_tpu.training.config import load_config
+
+    cfg_dir = Path(__file__).parent.parent / "configs"
+    paths = sorted(cfg_dir.glob("*.yaml"))
+    assert paths
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.capacity > 0
+
+
 def test_unknown_key_rejected(tmp_path):
     from gaussian_splatting_lightning_tpu.training.config import load_config
 

@@ -269,6 +269,11 @@ def test_dataset_builds_items(tmp_path):
     assert item_d.depth.shape == (1, 24, 32)
     assert item_d.depth.dtype == np.float32
 
+    # neither downscale nor resize_to: native resolution (reference
+    # resizes only when configured, colmap_dataset.py:124-135)
+    ds_n = ColmapDataset(tmp_path, img_dir)
+    assert ds_n[0].image.shape == (3, 48, 64)
+
 
 def test_native_knn_matches_kdtree():
     from gaussian_splatting_lightning_tpu.ops.knn import _load_native
