@@ -9,3 +9,7 @@ from gaussian_splatting_lightning_tpu.models.gaussians import (  # noqa: F401
     save_ply,
 )
 from gaussian_splatting_lightning_tpu.models import ply  # noqa: F401
+from gaussian_splatting_lightning_tpu.models.splat_export import (  # noqa: F401
+    save_splat,
+    scene_to_splat_bytes,
+)

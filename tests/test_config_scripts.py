@@ -219,3 +219,30 @@ train:
     metrics = json.loads(metrics_json.read_text())
     assert metrics["mean"]["psnr"] > 5.0
     assert 0.0 <= metrics["mean"]["ssim"] <= 1.0
+
+    # camera-path flythrough CLI on the trained checkpoint
+    frames_dir = tmp_path / "frames"
+    res4 = subprocess.run(
+        [sys.executable, "-m", "scripts.render_path",
+         str(run_dir / "point_cloud-final.ply"),
+         "--colmap", str(root), "--image-folder", str(root / "images"),
+         "--downscale", "1.0", "--n-frames", "4", "--loop",
+         "--out", str(frames_dir), "--gif", str(tmp_path / "path.gif")],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).parent.parent, env=env,
+    )
+    assert res4.returncode == 0, res4.stderr[-3000:]
+    assert len(list(frames_dir.glob("frame_*.png"))) == 4
+    assert (tmp_path / "path.gif").exists()
+
+    # web-viewer .splat export CLI
+    res5 = subprocess.run(
+        [sys.executable, "-m", "scripts.export_splat",
+         str(run_dir / "point_cloud-final.ply"),
+         "--out", str(tmp_path / "scene.splat")],
+        capture_output=True, text=True, timeout=600,
+        cwd=Path(__file__).parent.parent, env=env,
+    )
+    assert res5.returncode == 0, res5.stderr[-3000:]
+    size = (tmp_path / "scene.splat").stat().st_size
+    assert size > 0 and size % 32 == 0
