@@ -184,19 +184,28 @@ def main():
     images = {}
     max_pairs = 1 << 20
     rng = np.random.default_rng(args.seed + 1)
+
+    def make_render(tiling):
+        # jit once per budget: an eager render dispatches every op over the
+        # device tunnel individually (~50 s/view); jitted it is one program
+        return jax.jit(
+            lambda scene, cam, bg: render_scene(
+                scene, cam, w, h, bg, tiling, rasterize_fn=raster
+            )
+        )
+
+    render_jit = make_render(TilingConfig(max_pairs=max_pairs))
     for i in range(args.n_views):
         R, t = orbit_pose(i, args.n_views, args.radius)
         cam = make_camera(np.concatenate([R, t[:, None]], 1), fx, fy, w, h)
         while True:  # adaptive budget: re-render on overflow
-            tiling = TilingConfig(max_pairs=max_pairs)
-            out_r, stats = render_scene(
-                gt, cam, w, h, jnp.zeros(3), tiling, rasterize_fn=raster
-            )
+            out_r, stats = render_jit(gt, cam, jnp.zeros(3))
             if int(stats["num_dropped_pairs"]) == 0 and int(
                 stats["num_tile_overflow"]
             ) == 0:
                 break
             max_pairs *= 2
+            render_jit = make_render(TilingConfig(max_pairs=max_pairs))
             print(f"  overflow at view {i}: growing pair budget to {max_pairs}")
         img = np.clip(np.asarray(out_r.image), 0.0, 1.0)
         img8 = (np.moveaxis(img, 0, -1) * 255.0 + 0.5).astype(np.uint8)
