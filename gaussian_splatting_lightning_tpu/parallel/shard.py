@@ -246,6 +246,26 @@ def sharded_render(
     return image, radii, depth
 
 
+def _band_depth_partials(
+    dbands: jnp.ndarray,  # (B, band_h, W) this device's live inverse-depth rows
+    depth_tgt: jnp.ndarray,  # (B, H, W) replicated inverse-depth targets
+    height: int,
+):
+    """Band-local partial sums of the full-image inverse-depth L1 (the depth
+    regularizer is pixel-local — no halo needed). psum over "tile" gives the
+    full-image mean exactly."""
+    b, band_h, w = dbands.shape
+    n_t = jax.lax.axis_size("tile")
+    ax_t = jax.lax.axis_index("tile")
+    r0 = ax_t * band_h
+    row_g = r0 + jnp.arange(band_h)
+    live_valid = (row_g < height)[None, :, None]
+    tgt_pad = jnp.pad(depth_tgt, ((0, 0), (0, n_t * band_h - height), (0, 0)))
+    tgt_band = jax.lax.dynamic_slice_in_dim(tgt_pad, r0, band_h, axis=1)
+    diff = jnp.where(live_valid, dbands - tgt_band, 0.0)
+    return jnp.sum(jnp.abs(diff), axis=(1, 2)) / (height * w)
+
+
 def make_sharded_train_step(
     cfg,  # TrainConfig
     spatial_scale: float,
@@ -257,7 +277,10 @@ def make_sharded_train_step(
 
     Inputs: cameras/images/backgrounds carry a leading global batch dim
     B = mesh 'view' size x local batch, sharded over 'view'; scene and Adam
-    state are replicated and returned replicated.
+    state are replicated and returned replicated. With ``cfg.use_exposure``
+    the step takes a (B, 3, 4) exposure batch (sharded over 'view') and
+    additionally returns the (B, 3, 4) per-view exposure gradients; with
+    ``cfg.w_depth > 0`` it takes a (B, H, W) inverse-depth target batch.
     """
     from gaussian_splatting_lightning_tpu.training.trainer import (
         resolve_rasterizer,
@@ -268,6 +291,8 @@ def make_sharded_train_step(
     rasterize_fn = resolve_rasterizer(impl)
     n_tile = mesh.shape["tile"]
     n_view = mesh.shape["view"]
+    use_exp = bool(getattr(cfg, "use_exposure", False))
+    use_depth = float(getattr(cfg, "w_depth", 0.0)) > 0.0
     block = cfg.tiling.resolve_block(impl)
     _, gy_local = _band_geometry(height, n_tile, block)
     # cfg.tiling.max_pairs is the whole-image budget; each device bins only
@@ -280,7 +305,11 @@ def make_sharded_train_step(
         max_pairs=max(8192, -(-cfg.tiling.max_pairs // (n_tile * 8192)) * 8192),
     )
 
-    def device_fn(scene, adam, step, cameras, images, backgrounds):
+    def device_fn(scene, adam, step, cameras, images, backgrounds, *extras):
+        # optional positional tail, matching in_specs below
+        extras = list(extras)
+        exp_mats = extras.pop(0) if use_exp else None
+        depth_tgt = extras.pop(0) if use_depth else None
         # leading dim of cameras/images here is B_local = B / n_view
         ax_t = jax.lax.axis_index("tile")
         b_local = images.shape[0]
@@ -289,7 +318,7 @@ def make_sharded_train_step(
             (b_local, scene.capacity, 2), scene.params.xyz.dtype
         )
 
-        def loss_fn(params, offsets):
+        def loss_fn(params, offsets, exp_mats):
             live = dataclasses.replace(scene, params=params)
 
             def render_one(cam, bg, offset):
@@ -306,13 +335,21 @@ def make_sharded_train_step(
                     tile_y_offset=ax_t * gy_local, grid_y_local=gy_local,
                 )
                 return (
-                    out.image, out.radii,
+                    out.image, out.depth[0], out.radii,
                     stats["num_dropped_pairs"], stats["num_pairs"],
                 )
 
-            bands, radii, dropped, n_pairs = jax.vmap(render_one)(
+            bands, dbands, radii, dropped, n_pairs = jax.vmap(render_one)(
                 cameras, backgrounds, offsets
             )  # bands: (B_local, 3, band_h, W)
+            if exp_mats is not None:
+                # exposure is a per-pixel affine color map: applying it to the
+                # band rows equals slicing the exposed full image
+                from gaussian_splatting_lightning_tpu.training.exposure import (
+                    apply_exposure,
+                )
+
+                bands = jax.vmap(apply_exposure)(exp_mats, bands)
             l1_p, ssim_p, mse_p = _band_loss_partials(
                 bands, images, height, cfg.w_ssim
             )
@@ -336,12 +373,24 @@ def make_sharded_train_step(
                     10.0 * jnp.log10(1.0 / jnp.maximum(mse_v, 1e-12))
                 ),
             }
+            if use_depth:
+                d_p = _band_depth_partials(dbands, depth_tgt, height)
+                loss_local = loss_local + cfg.w_depth * jnp.mean(d_p)
+                d_v = jax.lax.psum(d_p, "tile")
+                logs["depth_l1"] = jnp.mean(d_v)
+                logs["loss"] = logs["loss"] + cfg.w_depth * jnp.mean(d_v)
             return loss_local, (radii, logs, jnp.sum(dropped), jnp.max(n_pairs))
 
+        argnums = (0, 1, 2) if use_exp else (0, 1)
         grads, (radii, logs, dropped, n_pairs) = jax.grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(scene.params, offset0)
-        param_grads, screen_grads = grads
+            loss_fn, argnums=argnums, has_aux=True
+        )(scene.params, offset0, exp_mats)
+        param_grads, screen_grads = grads[0], grads[1]
+        exp_grad = None
+        if use_exp:
+            # each view's own full-image exposure gradient: sum the band
+            # partials over the tile ring, undo the 1/b_local batch mean
+            exp_grad = jax.lax.psum(grads[2], "tile") * b_local
         # d(batch-mean loss)/d(params): each device's partial is
         # (1/b_local) * d loss_v / d theta restricted to its band; summing the
         # ring reassembles each view's full gradient, summing views and
@@ -386,15 +435,34 @@ def make_sharded_train_step(
         logs["num_pairs"] = (
             jax.lax.pmax(n_pairs, ("view", "tile")) * n_tile
         )
+        if use_exp:
+            return scene, adam, logs, exp_grad
         return scene, adam, logs
 
+    in_specs = [P(), P(), P(), P("view"), P("view"), P("view")]
+    out_specs = [P(), P(), P()]
+    if use_exp:
+        in_specs.append(P("view"))
+        out_specs.append(P("view"))  # (B, 3, 4) per-view exposure grads
+    if use_depth:
+        in_specs.append(P("view"))
     sharded = jax.shard_map(
         device_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P("view"), P("view"), P("view")),
-        out_specs=(P(), P(), P()),
+        in_specs=tuple(in_specs), out_specs=tuple(out_specs),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    jitted = jax.jit(sharded, donate_argnums=(0, 1))
+
+    def step_fn(scene, adam, step, cameras, images, backgrounds,
+                exp_mat=None, depth_target=None):
+        args = [scene, adam, step, cameras, images, backgrounds]
+        if use_exp:
+            args.append(exp_mat)
+        if use_depth:
+            args.append(depth_target)
+        return jitted(*args)
+
+    return step_fn
 
 
 def batch_cameras(views) -> Camera:

@@ -306,10 +306,6 @@ class Trainer:
         mesh=None,  # Optional[jax.sharding.Mesh] with ("view", "tile") axes
     ):
         self.mesh = mesh
-        if mesh is not None and cfg.use_exposure:
-            raise NotImplementedError(
-                "per-view exposure is not supported on the sharded path yet"
-            )
         self.cfg = cfg
         self.scene = scene
         self.adam = init_adam(scene.params)
@@ -352,10 +348,6 @@ class Trainer:
         self._nan_rollbacks = 0
         self._last_ckpt: Optional[Path] = None
         self._depth_cache: dict = {}
-        if cfg.w_depth > 0 and mesh is not None:
-            raise NotImplementedError(
-                "depth regularization is not supported on the sharded path"
-            )
 
     def _build_steps(self):
         if self.mesh is not None:

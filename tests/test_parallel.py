@@ -253,6 +253,102 @@ def test_process_local_batch_matches_device_put_path():
     assert np.isfinite(float(logs["loss"]))
 
 
+def _batched_inputs(views):
+    cams = batch_cameras(views)
+    images = jnp.asarray(np.stack([v.image for v in views]))
+    bgs = jnp.asarray(np.stack([v.background for v in views]))
+    return cams, images, bgs
+
+
+def test_sharded_exposure_matches_single_device():
+    """Per-view exposure on the ('view','tile') mesh: scene params AND the
+    per-view exposure gradients match the single-device batched step."""
+    import copy
+
+    w, h = 96, 64
+    b = 2
+    views = _views_for_trainer(b, w, h)
+    cfg = TrainConfig(
+        capacity=128, tiling=TILING, use_exposure=True, batch_views=b,
+        densify=DensifyConfig(),
+    )
+    scene0 = _scene()
+    cams, images, bgs = _batched_inputs(views)
+    # non-identity exposure so its gradient actually shapes the loss
+    exp = jnp.asarray(
+        np.tile(
+            np.concatenate([np.eye(3), np.full((3, 1), 0.05)], 1), (b, 1, 1)
+        ).astype(np.float32)
+        * np.asarray([0.9, 1.1])[:, None, None]
+    )
+
+    mesh = make_mesh(view=2, tile=4)
+    step_sh = make_sharded_train_step(cfg, 4.0, w, h, mesh)
+    scene_sh, _, logs_sh, eg_sh = step_sh(
+        copy.deepcopy(scene0), init_adam(scene0.params), 0, cams, images,
+        bgs, exp,
+    )
+
+    step_1 = make_train_step(cfg, 4.0, w, h)
+    scene_1, _, logs_1, eg_1 = step_1(
+        copy.deepcopy(scene0), init_adam(scene0.params), 0, cams, images,
+        bgs, exp,
+    )
+    np.testing.assert_allclose(
+        float(logs_sh["loss"]), float(logs_1["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(eg_sh), np.asarray(eg_1), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(scene_sh.params.xyz), np.asarray(scene_1.params.xyz),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_sharded_depth_reg_matches_single_device():
+    """Inverse-depth L1 regularization on the mesh: loss and parameter
+    updates match the single-device batched step."""
+    import copy
+
+    w, h = 96, 64
+    b = 2
+    views = _views_for_trainer(b, w, h)
+    cfg = TrainConfig(
+        capacity=128, tiling=TILING, w_depth=0.5, batch_views=b,
+        densify=DensifyConfig(),
+    )
+    scene0 = _scene()
+    cams, images, bgs = _batched_inputs(views)
+    rng = np.random.default_rng(7)
+    depth_tgt = jnp.asarray(
+        rng.uniform(0.1, 0.5, size=(b, h, w)).astype(np.float32)
+    )
+
+    mesh = make_mesh(view=2, tile=4)
+    step_sh = make_sharded_train_step(cfg, 4.0, w, h, mesh)
+    scene_sh, _, logs_sh = step_sh(
+        copy.deepcopy(scene0), init_adam(scene0.params), 0, cams, images,
+        bgs, depth_target=depth_tgt,
+    )
+
+    step_1 = make_train_step(cfg, 4.0, w, h)
+    scene_1, _, logs_1 = step_1(
+        copy.deepcopy(scene0), init_adam(scene0.params), 0, cams, images,
+        bgs, depth_target=depth_tgt,
+    )
+    np.testing.assert_allclose(
+        float(logs_sh["loss"]), float(logs_1["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(logs_sh["depth_l1"]), float(logs_1["depth_l1"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(scene_sh.params.xyz), np.asarray(scene_1.params.xyz),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_pallas_banded_under_shard_map_interpret():
     """Pallas compositing inside shard_map with a traced tile_y_offset
     (banded tile sharding), interpret mode: matches the single-device XLA
