@@ -95,7 +95,35 @@ def _build(cls, data: Dict[str, Any]):
     return cls(**kwargs)
 
 
-def load_config(path: str) -> RunConfig:
+def apply_overrides(raw: Dict[str, Any], overrides) -> Dict[str, Any]:
+    """Apply ``a.b.c=value`` overrides onto the raw YAML dict (values parsed
+    as YAML, so ``--set train.num_iters=100`` and ``--set data.mask_folder=
+    null`` both work). Unknown keys are still rejected by _build."""
+    for ov in overrides or ():
+        key, sep, val = ov.partition("=")
+        if not sep:
+            raise ValueError(f"override '{ov}' is not of the form key=value")
+        parts = key.strip().split(".")
+        cur = raw
+        for p in parts[:-1]:
+            nxt = cur.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                cur[p] = nxt
+            cur = nxt
+        v = yaml.safe_load(val)
+        if isinstance(v, str):
+            # YAML 1.1 misses dotless scientific floats like "5e-5"
+            try:
+                v = float(v)
+            except ValueError:
+                pass
+        cur[parts[-1]] = v
+    return raw
+
+
+def load_config(path: str, overrides=()) -> RunConfig:
     raw = yaml.safe_load(Path(path).read_text()) or {}
+    raw = apply_overrides(raw, overrides)
     raw = _interpolate(raw, raw)
     return _build(RunConfig, raw)

@@ -25,6 +25,11 @@ def main():
     parser.add_argument("--iters", type=int, default=None)
     parser.add_argument("--out-dir", type=str, default=None)
     parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="dotted config override, e.g. --set train.num_iters=100 "
+        "--set train.tiling.max_pairs=1048576 (repeatable)",
+    )
     args = parser.parse_args()
 
     from gaussian_splatting_lightning_tpu.utils import setup_compilation_cache
@@ -40,7 +45,7 @@ def main():
     from gaussian_splatting_lightning_tpu.training.config import load_config
     from gaussian_splatting_lightning_tpu.training.trainer import Trainer
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config, overrides=args.set)
     if args.seed is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, seed=args.seed)

@@ -33,6 +33,32 @@ def test_all_committed_configs_load():
         assert cfg.capacity > 0
 
 
+def test_cli_overrides(tmp_path):
+    from gaussian_splatting_lightning_tpu.training.config import load_config
+
+    base = Path(__file__).parent.parent / "configs" / "train_gs.yaml"
+    cfg = load_config(
+        base,
+        overrides=[
+            "train.num_iters=123",
+            "train.tiling.max_pairs=8192",
+            "train.densify.densify_grad_threshold=5e-5",
+            "data.white_background=true",
+            "run_name=ovr",
+        ],
+    )
+    assert cfg.train.num_iters == 123
+    assert cfg.train.tiling.max_pairs == 8192
+    assert cfg.train.densify.densify_grad_threshold == 5e-5
+    assert cfg.data.white_background is True
+    assert cfg.run_name == "ovr"
+    # unknown dotted key still rejected
+    with pytest.raises(KeyError):
+        load_config(base, overrides=["train.not_a_key=1"])
+    with pytest.raises(ValueError):
+        load_config(base, overrides=["no_equals_sign"])
+
+
 def test_unknown_key_rejected(tmp_path):
     from gaussian_splatting_lightning_tpu.training.config import load_config
 
