@@ -21,58 +21,11 @@ import numpy as np
 
 
 def _estimate_pairs_numpy(scene, cam, w, h):
-    """Host-side (numpy) replica of preprocess+rect counting, for sizing the
-    pair budget without compiling a device probe program."""
-    import numpy as np
+    """Host-side pair estimate at the Pallas path's 32px tiles (now shared
+    with the render/eval CLIs via ops/budget.py)."""
+    from gaussian_splatting_lightning_tpu.ops.budget import estimate_pairs
 
-    xyz = np.asarray(scene.params.xyz)
-    scales = np.exp(np.asarray(scene.params.scales))
-    q = np.asarray(scene.params.quats)
-    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
-    view = np.asarray(cam.viewmatrix)
-    ones = np.ones((len(xyz), 1), np.float32)
-    p_view = np.concatenate([xyz, ones], 1) @ view
-    z = p_view[:, 2]
-    visible = z > 0.2
-
-    wq, xq, yq, zq = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
-    R = np.stack([
-        1 - 2 * (yq * yq + zq * zq), 2 * (xq * yq - wq * zq), 2 * (xq * zq + wq * yq),
-        2 * (xq * yq + wq * zq), 1 - 2 * (xq * xq + zq * zq), 2 * (yq * zq - wq * xq),
-        2 * (xq * zq - wq * yq), 2 * (yq * zq + wq * xq), 1 - 2 * (xq * xq + yq * yq),
-    ], -1).reshape(-1, 3, 3)
-    L = R * scales[:, None, :]
-    V = L @ np.swapaxes(L, 1, 2)
-    tanx, tany = float(cam.tanfovx), float(cam.tanfovy)
-    fx, fy = w * 0.5 / tanx, h * 0.5 / tany
-    x = np.clip(p_view[:, 0] / z, -1.3 * tanx, 1.3 * tanx) * z
-    y = np.clip(p_view[:, 1] / z, -1.3 * tany, 1.3 * tany) * z
-    W3 = view[:3, :3].T
-    t0 = (fx / z)[:, None] * W3[0] + (-fx * x / z ** 2)[:, None] * W3[2]
-    t1 = (fy / z)[:, None] * W3[1] + (-fy * y / z ** 2)[:, None] * W3[2]
-    a = np.einsum("ni,nij,nj->n", t0, V, t0) + 0.3
-    b = np.einsum("ni,nij,nj->n", t0, V, t1)
-    d = np.einsum("ni,nij,nj->n", t1, V, t1) + 0.3
-    mid = 0.5 * (a + d)
-    lam = mid + np.sqrt(np.maximum(mid * mid - (a * d - b * b), 0.1))
-    radius = np.ceil(3.0 * np.sqrt(lam))
-    # opacity-aware exact support radius (ops/common.py preprocess)
-    op = 1.0 / (1.0 + np.exp(-np.asarray(scene.params.opacity[:, 0])))
-    log_ratio = np.log(np.maximum(op * 255.0, 1.0))
-    radius = np.minimum(radius, np.ceil(np.sqrt(2.0 * log_ratio * lam)) + 1.0)
-
-    proj = np.asarray(cam.projmatrix)
-    ph = np.concatenate([xyz, ones], 1) @ proj
-    pw = 1.0 / (ph[:, 3] + 1e-7)
-    px = ((ph[:, 0] * pw + 1) * w - 1) * 0.5
-    py = ((ph[:, 1] * pw + 1) * h - 1) * 0.5
-    blk = 32  # TilingConfig default tile edge on the Pallas path
-    gx, gy = -(-w // blk), -(-h // blk)
-    x0 = np.clip(np.trunc((px - radius) / blk), 0, gx)
-    x1 = np.clip(np.trunc((px + radius + blk - 1) / blk), 0, gx)
-    y0 = np.clip(np.trunc((py - radius) / blk), 0, gy)
-    y1 = np.clip(np.trunc((py + radius + blk - 1) / blk), 0, gy)
-    return int(np.where(visible, np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0), 0).sum())
+    return estimate_pairs(scene, cam, w, h, block=32)
 
 
 def run(w, h, n, iters=10, warmup=2):

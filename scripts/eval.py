@@ -78,8 +78,10 @@ def main():
     if args.holdout_every:
         indices = indices[:: args.holdout_every]
 
-    raster = resolve_rasterizer("auto")
+    impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    raster = resolve_rasterizer(impl)
     render_jit = None
+    tiling = None
     rows = []
     for i in indices:
         view = ds[i]
@@ -99,12 +101,44 @@ def main():
             ).image
         else:
             if render_jit is None:
+                # size the static pair budget for THIS scene (the default
+                # budget silently drops the farthest splats on big scenes)
+                from gaussian_splatting_lightning_tpu.ops.budget import (
+                    pair_budget,
+                )
+                from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import (
+                    TilingConfig,
+                )
+
+                all_cams = [
+                    Camera(
+                        viewmatrix=np.asarray(ds[j].viewmatrix),
+                        projmatrix=np.asarray(ds[j].projmatrix),
+                        campos=np.asarray(ds[j].campos),
+                        tanfovx=ds[j].tanfovx, tanfovy=ds[j].tanfovy,
+                    )
+                    for j in indices
+                ]
+                blk = TilingConfig().resolve_block(impl)
+                tiling = TilingConfig(
+                    max_pairs=pair_budget(scene, all_cams, w, h, blk),
+                    tile_capacity=4096,
+                )
                 render_jit = jax.jit(
                     lambda s, c, bg: render_scene(
-                        s, c, w, h, bg, rasterize_fn=raster
-                    )[0].image
+                        s, c, w, h, bg, tiling, rasterize_fn=raster
+                    )
                 )
-            image = render_jit(scene, cam, jnp.asarray(view.background))
+            out, stats = render_jit(scene, cam, jnp.asarray(view.background))
+            image = out.image
+            dropped = int(stats["num_dropped_pairs"]) + int(
+                stats["num_tile_overflow"]
+            )
+            if dropped:
+                print(
+                    f"WARNING: view {i} dropped {dropped} splat-tile pairs "
+                    f"(budget {tiling.max_pairs}); metrics are degraded"
+                )
         gt = jnp.asarray(view.image)
         image = jnp.clip(image, 0.0, 1.0)
         rows.append(

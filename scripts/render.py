@@ -96,16 +96,36 @@ def main():
         image, depth = out.image, out.depth
         elapsed = float("nan")
     else:
+        from gaussian_splatting_lightning_tpu.ops.budget import pair_budget
+        from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import (
+            TilingConfig,
+        )
+
+        impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        tiling = TilingConfig(
+            max_pairs=pair_budget(
+                scene, cam, w, h, TilingConfig().resolve_block(impl)
+            ),
+            tile_capacity=4096,
+        )
         fn = jax.jit(
             lambda s: render_scene(
-                s, cam, w, h, bg,
-                rasterize_fn=resolve_rasterizer("auto"),
-            )[0]
+                s, cam, w, h, bg, tiling,
+                rasterize_fn=resolve_rasterizer(impl),
+            )
         )
-        out = fn(scene)
+        out, stats = fn(scene)
         jax.block_until_ready(out.image)  # compile outside the timer
+        dropped = int(stats["num_dropped_pairs"]) + int(
+            stats["num_tile_overflow"]
+        )
+        if dropped:
+            print(
+                f"WARNING: dropped {dropped} splat-tile pairs "
+                f"(budget {tiling.max_pairs}); image is degraded"
+            )
         t0 = time.perf_counter()
-        out = fn(scene)
+        out, _ = fn(scene)
         jax.block_until_ready(out.image)
         elapsed = time.perf_counter() - t0
         image, depth = out.image, out.depth

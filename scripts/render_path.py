@@ -149,11 +149,45 @@ def main():
         R = np.asarray(v.viewmatrix, dtype=np.float64)[:3, :3].T
         keys.append((R, np.asarray(v.campos, dtype=np.float64)))
 
+    from gaussian_splatting_lightning_tpu.core.camera import Camera
+    from gaussian_splatting_lightning_tpu.ops.budget import pair_budget
+    from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import TilingConfig
+
+    impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    key_cams = [
+        Camera(
+            viewmatrix=np.asarray(v.viewmatrix),
+            projmatrix=np.asarray(v.projmatrix),
+            campos=np.asarray(v.campos),
+            tanfovx=v.tanfovx, tanfovy=v.tanfovy,
+        )
+        for v in views
+    ]
+    # interpolated poses lie between the keyframes; extra headroom covers
+    # pair-count variation along the path
+    tiling = TilingConfig(
+        max_pairs=pair_budget(
+            scene, key_cams, w, h, TilingConfig().resolve_block(impl),
+            headroom=1.5,
+        ),
+        tile_capacity=4096,
+    )
     render = jax.jit(
         lambda s, cam: render_scene(
-            s, cam, w, h, bg, rasterize_fn=resolve_rasterizer("auto")
-        )[0].image
+            s, cam, w, h, bg, tiling, rasterize_fn=resolve_rasterizer(impl)
+        )
     )
+    warned = [False]
+
+    def render_checked(s, cam):
+        out, stats = render(s, cam)
+        if not warned[0] and int(stats["num_dropped_pairs"]) > 0:
+            warned[0] = True
+            print(
+                f"WARNING: dropped {int(stats['num_dropped_pairs'])} "
+                f"splat-tile pairs (budget {tiling.max_pairs})"
+            )
+        return out.image
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -164,7 +198,7 @@ def main():
     ):
         t = -R @ C
         cam = make_camera(np.concatenate([R, t[:, None]], 1), fx, fy, w, h)
-        img = np.clip(np.asarray(render(scene, cam)), 0.0, 1.0)
+        img = np.clip(np.asarray(render_checked(scene, cam)), 0.0, 1.0)
         img8 = (np.moveaxis(img, 0, -1) * 255.0 + 0.5).astype(np.uint8)
         imageio.imwrite(out_dir / f"frame_{i:05d}.png", img8)
         if gif is not None:
