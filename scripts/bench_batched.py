@@ -40,7 +40,6 @@ def main():
 
     setup_compilation_cache()
     w, h, n = args.width, args.height, args.n
-    scene = ge._synthetic_scene(n, n, scale=0.01)
 
     def ring_cam(i, total):
         ang = 2 * np.pi * i / total
@@ -55,8 +54,9 @@ def main():
         return make_camera(np.concatenate([R, t[:, None]], 1), w * 0.7, w * 0.7, w, h)
 
     cams = [ring_cam(i, 8) for i in range(8)]
+    scene0 = ge._synthetic_scene(n, n, scale=0.01)
     budget = max(
-        _estimate_pairs_numpy(scene, c, w, h) for c in cams[:4]
+        _estimate_pairs_numpy(scene0, c, w, h) for c in cams[:4]
     )
     budget = max(16384, -(-int(budget * 1.3) // 8192) * 8192)
     rng = np.random.default_rng(0)
@@ -74,6 +74,8 @@ def main():
         if b == 1:
             cam_b = sel[0]
             img, bg = img[0], bg[0]
+        # the train step donates (scene, adam): fresh copies per batch size
+        scene = ge._synthetic_scene(n, n, scale=0.01)
         adam = init_adam(scene.params)
         s, a, logs = step(scene, adam, 0, cam_b, img, bg)
         jax.block_until_ready(logs["loss"])

@@ -2,6 +2,7 @@
 densify semantics, and a synthetic end-to-end training run."""
 
 import dataclasses
+import functools
 import math
 
 import numpy as np
@@ -67,6 +68,71 @@ def test_ssim_properties():
     # psnr of identical images is huge, of noise is small
     assert float(psnr(a, a)) > 60
     assert float(psnr(a, jnp.zeros_like(a))) < 15
+
+
+def test_pallas_blur_matches_xla(monkeypatch):
+    """The Pallas separable-blur kernel (TPU SSIM path) in interpret mode:
+    forward and gradient match the XLA depthwise-conv blur exactly."""
+    import importlib
+
+    ssim_lib = importlib.import_module(
+        "gaussian_splatting_lightning_tpu.ops.ssim"
+    )
+
+    rng = np.random.default_rng(3)
+    # odd width, not a multiple of 128: exercises lane masking; rows not a
+    # multiple of the slab height: exercises row padding
+    n, c, h, w = 1, 15, 37, 150
+    win, sigma = 11, 1.5
+    xp = rng.normal(size=(n, c, h + win - 1, w + win - 1)).astype(np.float32)
+
+    def f_xla(x):
+        return ssim_lib._blur_valid(x, win, sigma)
+
+    def f_pl(x):
+        return ssim_lib._blur_valid_pallas(x, win, sigma, interpret=True)
+
+    a = np.asarray(f_xla(jnp.asarray(xp)))
+    b = np.asarray(f_pl(jnp.asarray(xp)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    ct = rng.normal(size=a.shape).astype(np.float32)
+
+    def loss(f, x):
+        return jnp.sum(f(x) * jnp.asarray(ct))
+
+    ga = np.asarray(jax.grad(lambda x: loss(f_xla, x))(jnp.asarray(xp)))
+    gb = np.asarray(jax.grad(lambda x: loss(f_pl, x))(jnp.asarray(xp)))
+    np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_ssim_map_matches_xla(monkeypatch):
+    """Full ssim_map through the Pallas blur (interpret) == the XLA path,
+    including under the batched-views vmap the trainer uses."""
+    import importlib
+
+    ssim_lib = importlib.import_module(
+        "gaussian_splatting_lightning_tpu.ops.ssim"
+    )
+
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.uniform(size=(2, 3, 40, 150)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(2, 3, 40, 150)).astype(np.float32))
+    want = np.asarray(ssim_lib.ssim_map(a, b))
+
+    monkeypatch.setattr(ssim_lib, "_use_pallas_blur", lambda: True)
+    monkeypatch.setattr(
+        ssim_lib, "_blur_valid_pallas",
+        functools.partial(ssim_lib._blur_valid_pallas, interpret=True),
+    )
+    got = np.asarray(ssim_lib.ssim_map(a, b))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # vmapped (the single-device batched train step vmaps the loss per view)
+    got_v = np.asarray(
+        jax.vmap(lambda x, y: ssim_lib.ssim_map(x[None], y[None])[0])(a, b)
+    )
+    np.testing.assert_allclose(got_v, want, rtol=1e-5, atol=1e-6)
 
 
 def _ssim_f64_reference(img1, img2, window_size=11, sigma=1.5):
