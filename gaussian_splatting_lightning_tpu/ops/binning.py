@@ -294,7 +294,7 @@ def _dst_kernel(keys_ref, base_ref, out_ref, runhist, *, n_chunks):
 # shrink (rect corners are ~20% of a large splat's tiles).
 
 EXP_BLK = 4096  # slots per grid program
-EXP_TBL = 16  # f32 field rows: off0 off1 x0 nx y0 px py cull_r2 (8 pad)
+EXP_TBL = 16  # f32 field rows: off0 off1 x0 nx y0 px py cull_r2 orig (7 pad)
 EXP_WIN_ROWS = (EXP_BLK + 256) // 128  # splat window rows per program
 
 
@@ -345,7 +345,7 @@ def _expand_kernel(
             rel = jnp.sum(
                 oh * (row_f * 128.0 + lane), axis=1, keepdims=True
             )
-            return oh, rel, g(0), g(2), g(3), g(4), g(5), g(6), g(7)
+            return oh, rel, g(0), g(2), g(3), g(4), g(5), g(6), g(7), g(8)
 
         row_f = ow_row.astype(jnp.float32)
         parts0 = half(0, row_f)
@@ -353,7 +353,7 @@ def _expand_kernel(
         oh_sum = jnp.sum(parts0[0], axis=1, keepdims=True) + jnp.sum(
             parts1[0], axis=1, keepdims=True
         )
-        rel, off0, x0, nx, y0, px, py, cr2 = (
+        rel, off0, x0, nx, y0, px, py, cr2, orig = (
             a + b for a, b in zip(parts0[1:], parts1[1:])
         )
 
@@ -380,13 +380,7 @@ def _expand_kernel(
         matched = (oh_sum > 0.0) & (s < total.astype(jnp.float32))
         key = jnp.where(matched & keep, key, jnp.float32(n_tiles))
         key_ref[0, c, :] = key.reshape(128).astype(jnp.int32)
-        # DEPTH RANK of the owner (its row in the sorted tables): pairs
-        # reference the rank-ordered feature table, so the per-tile feature
-        # gather reads ascending columns (near-sequential HBM locality)
-        # instead of jumping across the original splat order. rel is
-        # window-relative; astart_row*128 rebases it to the global rank.
-        rank = rel + astart_row.astype(jnp.float32) * 128.0
-        gauss_ref[0, c, :] = rank.reshape(128).astype(jnp.int32)
+        gauss_ref[0, c, :] = orig.reshape(128).astype(jnp.int32)
         new_ow = jnp.max(
             jnp.where(matched, rel, ow.astype(jnp.float32))
         ).astype(jnp.int32)
@@ -402,11 +396,11 @@ def expand_pairs_pallas(
 ):
     """Pallas run-length pair expansion + exact per-tile cull.
 
-    ``fields_s`` is the depth-sorted (N, 6) f32 field table
-    [x0, nx, y0, px, py, cull_r2] — one fused row gather builds it
+    ``fields_s`` is the depth-sorted (N, 7) f32 field table
+    [x0, nx, y0, px, py, cull_r2, orig_id] — one fused row gather builds it
     (six separate [order] gathers cost ~38 ms at N=1M). Returns (key
     (max_pairs,) int32 with n_tiles for padding/culled, gauss (max_pairs,)
-    int32 DEPTH RANKS — rows into the depth-sorted tables).
+    int32 in ORIGINAL index space).
     """
     n = offsets.shape[0]
     n_rows = -(-n // 128) + EXP_WIN_ROWS
@@ -416,7 +410,7 @@ def expand_pairs_pallas(
 
     tbl = jnp.concatenate(
         [off0[:, None], off1[:, None], fields_s,
-         jnp.zeros((n, EXP_TBL - 8), jnp.float32)],
+         jnp.zeros((n, EXP_TBL - 9), jnp.float32)],
         axis=1,
     )
     tbl = jnp.pad(tbl, ((0, n_pad - n), (0, 0)))  # (n_pad, 16)
@@ -552,12 +546,10 @@ def build_aligned_bins(
          pair's exact destination: aligned_start[tile] + pairs of the same
          tile in earlier blocks + rank within (block, tile) — the rank
          comes from a neighbor-compare/cummax run-start trick, not a scan;
-      4. one scatter lands (gaussian rank, valid) straight into the aligned
+      4. one scatter lands (gaussian id, valid) straight into the aligned
          slots consumed by the kernels. No intermediate tile-sorted arrays.
 
-    Returns (gidx (m_pad,) of *depth ranks* — rows into the depth-sorted
-    feature table, near-sequential within each tile segment so the per-pair
-    feature gather keeps HBM read locality —, order (N,) the depth
+    Returns (gidx (m_pad,) in *original index space*, order (N,) the depth
     permutation, valid (m_pad,), cstart (T,), nchunk (T,), tile_count (T,),
     num_pairs, num_dropped, dst, slot_s, offsets). ``offsets`` group the
     expansion slots by depth rank; the depth-rank-k group belongs to
@@ -597,9 +589,10 @@ def build_aligned_bins(
                 jnp.maximum(nx, 1).astype(f32), y0.astype(f32),
                 sg(prep.p_pix[:, 0]), sg(prep.p_pix[:, 1]),
                 sg(prep.cull_r2),
+                jnp.arange(n, dtype=f32),
             ],
             axis=1,
-        )  # (N, 7) original order
+        )  # (N, 8) original order
         fields_s = fields[order]
         ntiles_s = fields_s[:, 0].astype(jnp.int32)
         offsets = jnp.cumsum(ntiles_s) - ntiles_s
@@ -652,9 +645,8 @@ def build_aligned_bins(
         key = jnp.where(
             valid0, tile_y * grid_x + tile_x, n_tiles
         ).astype(jnp.int32)
-        # depth rank, like the Pallas branch (pairs index the rank-ordered
-        # feature table; the pipeline maps gradients back via inv_order)
-        gauss = g_s.astype(jnp.int32)
+        # translate to original index space (matches the Pallas branch)
+        gauss = order.astype(jnp.int32)[g_s]
 
     # (2) blocked stable sort by tile key; payloads: gaussian id + the
     # expansion slot id (the latter gives the slot -> aligned-slot map the

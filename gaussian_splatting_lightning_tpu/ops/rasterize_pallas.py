@@ -569,10 +569,8 @@ def make_pair_pipeline(
 ):
     """Pair gather + compositing as ONE custom_vjp.
 
-    Forward: rank-order the (16, N) splat table (one N-sized permutation
-    gather), then feats = gfeat_sorted[:, gidx] * valid — gidx holds depth
-    ranks, ascending within each tile segment, so the M-sized per-pair
-    gather reads near-sequential columns; then the Pallas compositor.
+    Forward: feats = gfeat_T[:, gidx] * valid (a lane gather from the
+    (16, N) original-order splat table), then the Pallas compositor.
 
     Backward (all hand-rolled — none of this is XLA AD):
       1. the bwd compositor kernel writes per-pair cotangents straight in
@@ -594,31 +592,23 @@ def make_pair_pipeline(
     rect_mask = block != 16
     grad_dtype = jnp.bfloat16 if grad_bf16 else None
 
-    def _gather(gfeat_t, order, gidx, valid):
-        # two-step gather: rank-order the (16, N) table once, then fetch
-        # per-pair columns by DEPTH RANK — within a tile segment ranks
-        # ascend, so the big per-pair gather reads near-sequential columns.
-        # The barrier stops XLA from composing the gathers back into one
-        # random-index gather over the original order.
-        gfeat_s = jax.lax.optimization_barrier(
-            jnp.take(gfeat_t, order, axis=1)
-        )
-        return jnp.take(gfeat_s, jnp.clip(gidx, 0), axis=1) * valid.astype(
+    def _gather(gfeat_t, gidx, valid):
+        return jnp.take(gfeat_t, jnp.clip(gidx, 0), axis=1) * valid.astype(
             gfeat_t.dtype
         )[None, :]
 
     @jax.custom_vjp
-    def run(gfeat_t, order, gidx, valid, dst_sorted, slot_sorted, offsets,
-            total, inv_order, bg, cstart, nchunk, ox, oy):
-        feats = _gather(gfeat_t, order, gidx, valid)
+    def run(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total,
+            inv_order, bg, cstart, nchunk, ox, oy):
+        feats = _gather(gfeat_t, gidx, valid)
         return _fwd_call(
             feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop,
             pix, block, rect_mask,
         )
 
-    def fwd(gfeat_t, order, gidx, valid, dst_sorted, slot_sorted, offsets,
-            total, inv_order, bg, cstart, nchunk, ox, oy):
-        feats = _gather(gfeat_t, order, gidx, valid)
+    def fwd(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total,
+            inv_order, bg, cstart, nchunk, ox, oy):
+        feats = _gather(gfeat_t, gidx, valid)
         out = _fwd_call(
             feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop,
             pix, block, rect_mask,
@@ -677,7 +667,6 @@ def make_pair_pipeline(
         f0 = jax.dtypes.float0
         return (
             dtable,
-            np.zeros((n,), f0),                # order
             np.zeros((m_pad,), f0),            # gidx
             np.zeros((m_pad,), f0),            # valid
             np.zeros(dst_sorted.shape, f0),
@@ -782,7 +771,7 @@ def rasterize_pallas(
         grad_bf16=config.pair_grad_bf16,
     )
     out = pipeline(
-        gfeat_t, order, gidx, valid, dst_sorted, slot_sorted, slot_offsets,
+        gfeat_t, gidx, valid, dst_sorted, slot_sorted, slot_offsets,
         jnp.asarray(num_pairs, jnp.int32), jnp.argsort(order),
         bg_pad, cstart, nchunk, ox, oy,
     )  # (T, pix, NOUT)

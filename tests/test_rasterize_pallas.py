@@ -334,12 +334,10 @@ def test_expand_kernel_matches_xla_fills():
     max_pairs = ((total + 100) // 128) * 128  # not a multiple of EXP_BLK
 
     def fields(px, py, cr2):
-        # [x0, nx, y0, px, py, cull_r2]; the kernel now emits the owner's
-        # depth RANK (its row here), which equals g in this pre-sorted setup
         return jnp.asarray(
             np.stack(
                 [x0, nx_safe, y0, np.full(n, px), np.full(n, py),
-                 np.full(n, cr2)], axis=1
+                 np.full(n, cr2), np.arange(n)], axis=1
             ).astype(np.float32)
         )
 
