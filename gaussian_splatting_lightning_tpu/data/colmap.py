@@ -125,7 +125,70 @@ def _read_binary_images(path: Path):
     return images
 
 
+_POINTS_LIB = None
+_POINTS_TRIED = False
+
+
+def _load_points_native():
+    """C++ points3D.bin reader (native/colmap_points.cpp) — the record is
+    variable-length (per-point track), so the Python loop costs minutes at
+    the multi-million points of a real MipNeRF-360 reconstruction. Built on
+    first use; None when no toolchain (the Python loop remains the
+    fallback). The reference gets this for free from pycolmap's C++."""
+    global _POINTS_LIB, _POINTS_TRIED
+    if _POINTS_TRIED:
+        return _POINTS_LIB
+    _POINTS_TRIED = True
+    import ctypes
+
+    root = Path(__file__).resolve().parents[2] / "native"
+    so = root / "libgscolmap.so"
+    try:
+        if not so.exists():
+            import subprocess
+
+            subprocess.run(
+                ["make", "-C", str(root), "libgscolmap.so"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(so))
+        lib.gs_colmap_points_count.restype = ctypes.c_int64
+        lib.gs_colmap_points_count.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.gs_colmap_points_read.restype = ctypes.c_int
+        lib.gs_colmap_points_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
+        _POINTS_LIB = lib
+    except Exception:
+        _POINTS_LIB = None
+    return _POINTS_LIB
+
+
 def _read_binary_points(path: Path):
+    import ctypes
+    import os
+
+    if not os.environ.get("GS_TPU_NO_NATIVE_COLMAP"):
+        lib = _load_points_native()
+        if lib is not None:
+            buf = path.read_bytes()
+            n = lib.gs_colmap_points_count(buf, len(buf))
+            if n >= 0:
+                xyz = np.empty((n, 3), np.float32)
+                rgb = np.empty((n, 3), np.float32)
+                rc = lib.gs_colmap_points_read(
+                    buf, len(buf), n,
+                    xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                )
+                if rc == 0:
+                    return xyz, rgb
+            # malformed per the native walker: fall through so the Python
+            # loop raises the precise struct error
+
     xyz_list, rgb_list = [], []
     with open(path, "rb") as f:
         (num,) = struct.unpack("<Q", f.read(8))

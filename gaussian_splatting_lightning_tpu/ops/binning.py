@@ -709,10 +709,19 @@ def build_aligned_bins(
         combined_base = col_base + pad_start_ext[None, :]
         dst = jnp.take_along_axis(combined_base, keys_s, axis=1) + rank
         dst = jnp.where(keys_s < n_tiles, dst, m_pad).reshape(-1)
+    # every kept pair has a distinct destination; dropped pairs all carry
+    # dst == m_pad, so spread them across unique out-of-bounds slots to let
+    # XLA take the unique-indices scatter path (no serialization)
+    dstu = dst.reshape(-1)
+    dstu = jnp.where(
+        dstu < m_pad,
+        dstu,
+        m_pad + jnp.arange(dstu.shape[0], dtype=jnp.int32),
+    )
     gidx = (
         jnp.full(m_pad, -1, jnp.int32)
-        .at[dst]
-        .set(gauss_s.reshape(-1), mode="drop")
+        .at[dstu]
+        .set(gauss_s.reshape(-1), mode="drop", unique_indices=True)
     )
     valid = gidx >= 0
     # dst/slot_s (both in sorted-block order) give the backward pass its

@@ -175,6 +175,48 @@ def _write_colmap_binary(root, cameras, images, points):
             f.write(struct.pack("<ii", 1, 0))
 
 
+def test_native_points_reader_matches_python(tmp_path, monkeypatch):
+    """The C++ points3D.bin reader must agree with the pure-Python loop on
+    variable-length tracks, and both must reject truncated files."""
+    import os
+
+    rng = np.random.default_rng(9)
+    path = tmp_path / "points3D.bin"
+    n = 257
+    xyzs = rng.normal(size=(n, 3))
+    rgbs = rng.integers(0, 256, size=(n, 3))
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(n):
+            f.write(struct.pack("<Q3d3Bd", i, *xyzs[i], *rgbs[i], 0.25))
+            tl = int(rng.integers(0, 5))
+            f.write(struct.pack("<Q", tl))
+            f.write(b"\x00" * (8 * tl))
+
+    lib = colmap_io._load_points_native()
+    if lib is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    nat = colmap_io._read_binary_points(path)
+    monkeypatch.setenv("GS_TPU_NO_NATIVE_COLMAP", "1")
+    py = colmap_io._read_binary_points(path)
+    np.testing.assert_array_equal(nat[0], py[0])
+    np.testing.assert_array_equal(nat[1], py[1])
+    assert nat[0].dtype == np.float32 and len(nat[0]) == n
+
+    # file truncated inside a fixed-size record part: the native walker
+    # reports malformed and defers, and the python loop raises precisely
+    data = path.read_bytes()
+    path.write_bytes(data[:30])  # 8-byte header + 22 bytes of record 0
+    monkeypatch.delenv("GS_TPU_NO_NATIVE_COLMAP")
+    import pytest
+
+    assert lib.gs_colmap_points_count(data[:30], 30) == -1
+    with pytest.raises(Exception):
+        colmap_io._read_binary_points(path)
+
+
 def _norm(q):
     q = np.asarray(q, float)
     return q / np.linalg.norm(q)
