@@ -653,6 +653,14 @@ class Trainer:
             ):
                 self.save_checkpoint()
             self.step += 1
+        if self.out_dir and (
+            self._last_ckpt is None
+            or int(self._last_ckpt.name.split("-")[-1]) != self.step
+        ):
+            # final state: the cadence fires at step % interval == 0 *inside*
+            # the loop, so a completed run would otherwise only be resumable
+            # from its last interval checkpoint
+            self.save_checkpoint()
         return self.scene
 
     def _save_triptych(self, view, image, depth, name):

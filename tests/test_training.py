@@ -645,6 +645,9 @@ def test_nan_loss_rolls_back_to_checkpoint(tmp_path):
     assert tr._nan_rollbacks == 1
     assert tr.step > 10  # resumed from ckpt-10 and kept going
     assert math.isfinite(float(tr.history[-1]["loss"]))
+    # a completed run is resumable from its FINAL state, not just the last
+    # interval checkpoint
+    assert (tmp_path / f"ckpt-{tr.step:08d}").exists()
 
 
 def test_depth_regularization_loss_decreases():
