@@ -452,6 +452,10 @@ def make_sharded_train_step(
         check_vma=False,
     )
     jitted = jax.jit(sharded, donate_argnums=(0, 1))
+    if not use_exp and not use_depth:
+        # plain jit function: callers like the scaling harness rely on
+        # .lower() for XLA cost analysis
+        return jitted
 
     def step_fn(scene, adam, step, cameras, images, backgrounds,
                 exp_mat=None, depth_target=None):
