@@ -20,12 +20,18 @@ import numpy as np
 
 
 
+BENCH_BLOCK = 48  # compositor tile edge: 48px cuts rect pairs 22% vs 32px
+# (1.63M vs 2.09M at the bench scene); the extra per-pair blend area lands
+# on the MXU. Measured 154 vs 158 ms/step (round 3). 64px OOMs VMEM (the
+# fwd kernel holds full-tile (pix, 128) temporaries).
+
+
 def _estimate_pairs_numpy(scene, cam, w, h):
-    """Host-side pair estimate at the Pallas path's 32px tiles (now shared
-    with the render/eval CLIs via ops/budget.py)."""
+    """Host-side pair estimate at the bench tile size (shared with the
+    render/eval CLIs via ops/budget.py)."""
     from gaussian_splatting_lightning_tpu.ops.budget import estimate_pairs
 
-    return estimate_pairs(scene, cam, w, h, block=32)
+    return estimate_pairs(scene, cam, w, h, block=BENCH_BLOCK)
 
 
 def run(w, h, n, iters=10, warmup=2):
@@ -50,9 +56,11 @@ def run(w, h, n, iters=10, warmup=2):
     # static budget to fit — every per-pair stage costs proportionally to it.
     actual_pairs = _estimate_pairs_numpy(scene, cam, w, h)
     # round to sort-block granularity, not the next power of two (which
-    # would re-tax every per-pair stage by up to 2x)
-    budget = max(16384, -(-int(actual_pairs * 1.2) // 8192) * 8192)
-    cfg = TilingConfig(max_pairs=budget)
+    # would re-tax every per-pair stage by up to 2x). The host estimate is
+    # the EXACT rect-level pair count (ops/budget.py mirrors tile_rect), so
+    # 5% headroom suffices; a no-drop assertion below guards it.
+    budget = max(16384, -(-int(actual_pairs * 1.05) // 8192) * 8192)
+    cfg = TilingConfig(max_pairs=budget, block=BENCH_BLOCK)
     target = jnp.asarray(
         np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32)
     )
@@ -70,6 +78,15 @@ def run(w, h, n, iters=10, warmup=2):
         scene.params.xyz, scene.get_opacity(), scene.get_scales(),
         scene.get_rotation(), scene.get_features(),
     )
+
+    # guard the tight budget: the render must not drop pairs
+    def stats_fn(*p):
+        _, stats = rasterize_pallas(
+            *p, cam, w, h, jnp.zeros(3), 3, config=cfg
+        )
+        return stats["num_dropped_pairs"]
+    dropped = int(jax.jit(stats_fn)(*args))
+    assert dropped == 0, f"bench budget drops {dropped} pairs"
 
     t0 = time.perf_counter()
     g = step(*args)

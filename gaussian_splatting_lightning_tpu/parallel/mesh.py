@@ -73,10 +73,19 @@ def make_mesh(
                 f"multiple of the process count ({n_proc}) so tile rings "
                 f"never cross DCN"
             )
-        grid = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(view // n_proc, tile),
-            dcn_mesh_shape=(n_proc, 1),
-        )
+        try:
+            grid = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(view // n_proc, tile),
+                dcn_mesh_shape=(n_proc, 1),
+            )
+        except ValueError:
+            # single-slice multi-host (or CPU multi-process, where devices
+            # carry no slice_index): the DCN granule is the process
+            grid = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(view // n_proc, tile),
+                dcn_mesh_shape=(n_proc, 1),
+                process_is_granule=True,
+            )
         return Mesh(grid, axis_names=("view", "tile"))
     devices = list(devices if devices is not None else jax.devices())
     if tile is None:

@@ -64,6 +64,8 @@ def _resolve_impl(name: str) -> str:
 
     if name == "auto":
         return "pallas" if _jax.devices()[0].platform == "tpu" else "xla"
+    if name == "pallas_interpret":
+        return "pallas"  # same tile geometry; kernels run interpreted
     return name
 
 

@@ -95,11 +95,17 @@ def resolve_rasterizer(name: str):
     XLA path elsewhere (CPU tests, debugging)."""
     if name == "auto":
         name = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    if name == "pallas":
+    if name in ("pallas", "pallas_interpret"):
         from gaussian_splatting_lightning_tpu.ops.rasterize_pallas import (
             rasterize_pallas,
         )
 
+        if name == "pallas_interpret":
+            # the Pallas kernels in interpret mode — runs the exact product
+            # kernel path on CPU (virtual-mesh tests of the sharded step)
+            import functools
+
+            return functools.partial(rasterize_pallas, interpret=True)
         return rasterize_pallas
     return rasterize_tiled
 

@@ -128,6 +128,181 @@ def make_gt_scene(n_splats: int, sh_degree: int, seed: int):
     return scene
 
 
+def _value_noise(u, v, rng, octaves=5, base_freq=4):
+    """Multi-octave smooth value noise on [0,1]^2 -> [0,1]; the procedural
+    texture for surface splats (spatially coherent, so held-out views are
+    determined by geometry+texture rather than memorized — VERDICT r2 #4)."""
+    out = np.zeros_like(u, dtype=np.float64)
+    amp, norm = 1.0, 0.0
+    for o in range(octaves):
+        f = base_freq * (2 ** o)
+        g = rng.uniform(0.0, 1.0, (f + 1, f + 1))
+        ui = np.clip(u * f, 0, f - 1e-6)
+        vi = np.clip(v * f, 0, f - 1e-6)
+        i0 = ui.astype(int)
+        j0 = vi.astype(int)
+        fu = ui - i0
+        fv = vi - j0
+        fu = fu * fu * (3 - 2 * fu)
+        fv = fv * fv * (3 - 2 * fv)
+        n = (
+            g[i0, j0] * (1 - fu) * (1 - fv)
+            + g[i0 + 1, j0] * fu * (1 - fv)
+            + g[i0, j0 + 1] * (1 - fu) * fv
+            + g[i0 + 1, j0 + 1] * fu * fv
+        )
+        out += amp * n
+        norm += amp
+        amp *= 0.55
+    return (out / norm).astype(np.float32)
+
+
+def _surface_color(u, v, rng, palette):
+    """3-channel procedural texture: palette blend of 2 noise fields plus a
+    fine-detail luminance octave."""
+    a = _value_noise(u, v, rng, octaves=5)
+    b = _value_noise(u, v, rng, octaves=4, base_freq=7)
+    lum = 0.75 + 0.5 * (_value_noise(u, v, rng, octaves=2, base_freq=23) - 0.5)
+    c0, c1, c2 = palette
+    rgb = (
+        c0[None, :] * a[:, None]
+        + c1[None, :] * (1.0 - a)[:, None]
+        + c2[None, :] * (b[:, None] - 0.5) * 0.6
+    ) * lum[:, None]
+    return np.clip(rgb, 0.03, 0.97).astype(np.float32)
+
+
+def _normal_quat(normals):
+    """wxyz quats rotating +z to each normal (for tangent-flat splats)."""
+    z = np.array([0.0, 0.0, 1.0])
+    n = normals / np.linalg.norm(normals, axis=1, keepdims=True)
+    axis = np.cross(np.broadcast_to(z, n.shape), n)
+    s = np.linalg.norm(axis, axis=1)
+    c = n @ z
+    q = np.zeros((len(n), 4), np.float32)
+    ok = s > 1e-8
+    half = np.arctan2(s[ok], c[ok]) * 0.5
+    q[ok, 0] = np.cos(half)
+    q[ok, 1:] = axis[ok] / s[ok, None] * np.sin(half)[:, None]
+    q[~ok, 0] = 1.0  # n ~ +z (or -z: symmetric splat, identity is fine)
+    return q
+
+
+def make_gt_scene_textured(seed: int):
+    """Opaque *surface* ground truth: a textured ground plane, spheres and a
+    box, all built from tangent-flat high-opacity splats with procedural
+    texture. Unlike the volumetric cluster scene (whose novel views are
+    underdetermined — BASELINE.md round 2), these surfaces make held-out
+    PSNR a real generalization metric (VERDICT r2 missing #4 / next #5)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gaussian_splatting_lightning_tpu.models import from_points
+
+    rng = np.random.default_rng(seed)
+    xyz_l, rgb_l, quat_l, scale_l = [], [], [], []
+
+    def add(xyz, rgb, quats, scales):
+        xyz_l.append(xyz.astype(np.float32))
+        rgb_l.append(rgb.astype(np.float32))
+        quat_l.append(quats.astype(np.float32))
+        scale_l.append(scales.astype(np.float32))
+
+    # ground plane y=-1.2 over [-3.2, 3.2]^2, jittered grid
+    gn = 170
+    gx, gz = np.meshgrid(np.linspace(0, 1, gn), np.linspace(0, 1, gn))
+    u, v = gx.ravel(), gz.ravel()
+    spacing = 6.4 / gn
+    x = (u - 0.5) * 6.4 + rng.normal(scale=spacing * 0.15, size=gn * gn)
+    z = (v - 0.5) * 6.4 + rng.normal(scale=spacing * 0.15, size=gn * gn)
+    y = -1.2 + 0.05 * np.sin(x * 2.1) * np.cos(z * 1.7)  # gentle relief
+    pal = (np.array([0.45, 0.52, 0.28]), np.array([0.62, 0.55, 0.38]),
+           np.array([0.25, 0.3, 0.2]))
+    rgb = _surface_color(u, v, rng, pal)
+    nrm = np.stack([-0.105 * np.cos(x * 2.1) * np.cos(z * 1.7),
+                    np.ones_like(x),
+                    0.085 * np.sin(x * 2.1) * np.sin(z * 1.7)], 1)
+    sc = np.full((gn * gn, 3), spacing * 0.75)
+    sc[:, 2] = spacing * 0.06  # thin along the normal (local z)
+    add(np.stack([x, y, z], 1), rgb, _normal_quat(nrm), sc)
+
+    # spheres (fibonacci-sampled surfaces)
+    spheres = [
+        ((-1.1, -0.45, 0.6), 0.75, (np.array([0.7, 0.25, 0.2]),
+                                    np.array([0.9, 0.75, 0.3]),
+                                    np.array([0.3, 0.1, 0.1]))),
+        ((1.2, -0.2, -0.4), 1.0, (np.array([0.2, 0.35, 0.7]),
+                                  np.array([0.7, 0.8, 0.9]),
+                                  np.array([0.1, 0.15, 0.3]))),
+        ((0.1, -0.75, -1.4), 0.45, (np.array([0.75, 0.6, 0.2]),
+                                    np.array([0.4, 0.2, 0.5]),
+                                    np.array([0.2, 0.2, 0.1]))),
+    ]
+    for center, rad, spal in spheres:
+        m = int(22000 * rad * rad)
+        k = np.arange(m, dtype=np.float64)
+        phi = np.arccos(1 - 2 * (k + 0.5) / m)
+        theta = np.pi * (1 + 5 ** 0.5) * k
+        n = np.stack([np.sin(phi) * np.cos(theta), np.cos(phi),
+                      np.sin(phi) * np.sin(theta)], 1)
+        pts = np.asarray(center) + rad * n
+        su = (theta / (2 * np.pi)) % 1.0
+        sv = phi / np.pi
+        rgb = _surface_color(su, sv, rng, spal)
+        sp = rad * np.sqrt(4 * np.pi / m)  # mean point spacing on the sphere
+        sc = np.full((m, 3), sp * 0.8)
+        sc[:, 2] = sp * 0.08
+        add(pts, rgb, _normal_quat(n), sc)
+
+    # box (5 visible faces), axis-aligned at (0.2,-0.9,1.5), half-extents
+    bc = np.array([0.2, -0.9, 1.5])
+    he = np.array([0.55, 0.3, 0.4])
+    bpal = (np.array([0.55, 0.3, 0.55]), np.array([0.85, 0.8, 0.75]),
+            np.array([0.2, 0.1, 0.2]))
+    fn = 46
+    fu, fv = np.meshgrid(np.linspace(0, 1, fn), np.linspace(0, 1, fn))
+    fu, fv = fu.ravel(), fv.ravel()
+    faces = [  # (axis, sign)
+        (0, 1), (0, -1), (1, 1), (2, 1), (2, -1),
+    ]
+    for axis, sign in faces:
+        a1, a2 = [i for i in range(3) if i != axis]
+        pts = np.zeros((fn * fn, 3))
+        pts[:, axis] = sign * he[axis]
+        pts[:, a1] = (fu - 0.5) * 2 * he[a1]
+        pts[:, a2] = (fv - 0.5) * 2 * he[a2]
+        pts += bc
+        nrm = np.zeros((fn * fn, 3))
+        nrm[:, axis] = sign
+        rgb = _surface_color(fu, fv, rng, bpal)
+        sp = 2 * max(he[a1], he[a2]) / fn
+        sc = np.full((fn * fn, 3), sp * 0.8)
+        sc[:, 2] = sp * 0.08
+        add(pts, rgb, _normal_quat(nrm), sc)
+
+    xyz = np.concatenate(xyz_l)
+    rgb = np.concatenate(rgb_l)
+    quats = np.concatenate(quat_l)
+    scales = np.concatenate(scale_l)
+    n_total = len(xyz)
+
+    scene = from_points(xyz, rgb, capacity=n_total, sh_degree=0)
+    op_logit = np.full((n_total, 1), 6.0, np.float32)  # opacity ~0.9975
+    scene = dataclasses.replace(
+        scene,
+        params=dataclasses.replace(
+            scene.params,
+            scales=jnp.asarray(np.log(scales)),
+            opacity=jnp.asarray(op_logit),
+            quats=jnp.asarray(quats),
+        ),
+    )
+    print(f"textured GT: {n_total} surface splats "
+          f"(ground {gn * gn}, spheres+box {n_total - gn * gn})")
+    return scene
+
+
 def orbit_pose(i: int, n: int, radius: float, seed: int = 0):
     """world->cam [R|t] rows for camera i on a two-height orbit ring."""
     ang = 2.0 * np.pi * i / n
@@ -156,6 +331,12 @@ def main():
     ap.add_argument("--radius", type=float, default=4.0)
     ap.add_argument("--fov-deg", type=float, default=60.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--style", default="clusters", choices=["clusters", "textured"],
+        help="clusters: volumetric random splats (screen-stat proxy); "
+        "textured: opaque procedural-texture surfaces (held-out PSNR is a "
+        "real generalization metric)",
+    )
     args = ap.parse_args()
 
     import imageio.v2 as imageio
@@ -176,8 +357,12 @@ def main():
 
     w, h = args.width, args.height
     fx = fy = (w * 0.5) / np.tan(np.radians(args.fov_deg) * 0.5)
-    print(f"GT scene: {args.n_splats} splats; {args.n_views} views {w}x{h}")
-    gt = make_gt_scene(args.n_splats, sh_degree=0, seed=args.seed)
+    print(f"GT scene: {args.n_views} views {w}x{h} style={args.style}")
+    if args.style == "textured":
+        gt = make_gt_scene_textured(seed=args.seed)
+        args.n_splats = int(gt.params.xyz.shape[0])
+    else:
+        gt = make_gt_scene(args.n_splats, sh_degree=0, seed=args.seed)
     raster = resolve_rasterizer("auto")
 
     cameras = {1: (w, h, fx, fy, w / 2.0, h / 2.0)}
