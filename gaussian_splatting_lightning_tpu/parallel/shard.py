@@ -289,8 +289,9 @@ def make_sharded_train_step(
     )
 
     schedules = make_lr_schedules(cfg.optimizer, spatial_scale)
-    impl = _resolve_impl(getattr(cfg, "rasterizer", "auto"))
-    rasterize_fn = resolve_rasterizer(impl)
+    name = getattr(cfg, "rasterizer", "auto")
+    impl = _resolve_impl(name)  # tile geometry ('pallas'/'xla')
+    rasterize_fn = resolve_rasterizer(name if name != "auto" else impl)
     n_tile = mesh.shape["tile"]
     n_view = mesh.shape["view"]
     use_exp = bool(getattr(cfg, "use_exposure", False))

@@ -209,13 +209,14 @@ def make_gt_scene_textured(seed: int):
         quat_l.append(quats.astype(np.float32))
         scale_l.append(scales.astype(np.float32))
 
-    # ground plane y=-1.2 over [-3.2, 3.2]^2, jittered grid
-    gn = 170
+    # ground plane y=-1.2 over [-4.5, 4.5]^2, jittered grid (big enough to
+    # fill the frame below the horizon from the elevated orbit cameras)
+    gn = 210
     gx, gz = np.meshgrid(np.linspace(0, 1, gn), np.linspace(0, 1, gn))
     u, v = gx.ravel(), gz.ravel()
-    spacing = 6.4 / gn
-    x = (u - 0.5) * 6.4 + rng.normal(scale=spacing * 0.15, size=gn * gn)
-    z = (v - 0.5) * 6.4 + rng.normal(scale=spacing * 0.15, size=gn * gn)
+    spacing = 9.0 / gn
+    x = (u - 0.5) * 9.0 + rng.normal(scale=spacing * 0.15, size=gn * gn)
+    z = (v - 0.5) * 9.0 + rng.normal(scale=spacing * 0.15, size=gn * gn)
     y = -1.2 + 0.05 * np.sin(x * 2.1) * np.cos(z * 1.7)  # gentle relief
     pal = (np.array([0.45, 0.52, 0.28]), np.array([0.62, 0.55, 0.38]),
            np.array([0.25, 0.3, 0.2]))
@@ -232,7 +233,7 @@ def make_gt_scene_textured(seed: int):
         ((-1.1, -0.45, 0.6), 0.75, (np.array([0.7, 0.25, 0.2]),
                                     np.array([0.9, 0.75, 0.3]),
                                     np.array([0.3, 0.1, 0.1]))),
-        ((1.2, -0.2, -0.4), 1.0, (np.array([0.2, 0.35, 0.7]),
+        ((1.2, -0.35, -0.4), 0.85, (np.array([0.2, 0.35, 0.7]),
                                   np.array([0.7, 0.8, 0.9]),
                                   np.array([0.1, 0.15, 0.3]))),
         ((0.1, -0.75, -1.4), 0.45, (np.array([0.75, 0.6, 0.2]),
@@ -303,14 +304,16 @@ def make_gt_scene_textured(seed: int):
     return scene
 
 
-def orbit_pose(i: int, n: int, radius: float, seed: int = 0):
+def orbit_pose(i: int, n: int, radius: float, seed: int = 0,
+               heights=(0.45, 1.1), target=(0.0, 0.0, 0.0)):
     """world->cam [R|t] rows for camera i on a two-height orbit ring."""
     ang = 2.0 * np.pi * i / n
-    height = 0.45 if i % 2 == 0 else 1.1
+    height = heights[i % len(heights)]
     pos = np.array(
         [radius * np.cos(ang), height, radius * np.sin(ang)], np.float64
     )
-    fwd = -pos / np.linalg.norm(pos)  # look at origin
+    fwd = np.asarray(target, np.float64) - pos
+    fwd /= np.linalg.norm(fwd)
     up = np.array([0.0, 1.0, 0.0])
     right = np.cross(up, fwd)
     right /= np.linalg.norm(right)
@@ -380,8 +383,13 @@ def main():
         )
 
     render_jit = make_render(TilingConfig(max_pairs=max_pairs))
+    pose_kw = {}
+    if args.style == "textured":
+        # elevated ring looking at the ground plane: the textured surfaces
+        # fill the frame (black background would inflate held-out PSNR)
+        pose_kw = dict(heights=(1.7, 2.8), target=(0.0, -1.0, 0.0))
     for i in range(args.n_views):
-        R, t = orbit_pose(i, args.n_views, args.radius)
+        R, t = orbit_pose(i, args.n_views, args.radius, **pose_kw)
         cam = make_camera(np.concatenate([R, t[:, None]], 1), fx, fy, w, h)
         while True:  # adaptive budget: re-render on overflow
             out_r, stats = render_jit(gt, cam, jnp.zeros(3))

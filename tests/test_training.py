@@ -650,6 +650,49 @@ def test_nan_loss_rolls_back_to_checkpoint(tmp_path):
     assert (tmp_path / f"ckpt-{tr.step:08d}").exists()
 
 
+def test_rollback_reproduces_original_trajectory(tmp_path):
+    """Checkpoint restore resumes the EXACT run that would have happened:
+    the checkpoint now carries the sampler rng state, the in-flight view
+    permutation, the jax key, and exposure params, so a NaN rollback (or
+    --resume) replays the same view sequence and densify randomness —
+    losses match the original run step for step (VERDICT r2 next #9)."""
+    gt, views = _synthetic_views(n_views=3, w=48, h=32)
+
+    def make(out):
+        scene = from_points(
+            np.asarray(gt.params.xyz), np.full((40, 3), 0.5, np.float32),
+            64, 1,
+        )
+        cfg = TrainConfig(
+            num_iters=10, capacity=64, log_interval=1, valid_interval=10_000,
+            checkpoint_interval=5, adaptive_pairs=False, use_exposure=True,
+            tiling=TilingConfig(max_pairs=1 << 14, tile_capacity=64, chunk=32),
+            densify=DensifyConfig(densify_since=1, densify_interval=3,
+                                  densify_until=10,
+                                  densify_grad_threshold=0.0),
+        )
+        return Trainer(
+            cfg, scene, 4.0, views, out_dir=str(out), log_fn=lambda *a: None
+        )
+
+    tr_a = make(tmp_path / "a")
+    tr_a.train()
+    losses_a = {h["step"]: h["loss"] for h in tr_a.history}
+
+    tr_b = make(tmp_path / "b")
+    tr_b.restore_checkpoint(tmp_path / "a" / "ckpt-00000005")
+    assert tr_b.step == 5
+    tr_b.train(num_iters=5)  # steps 5..9, replaying run A's tail
+    for h in tr_b.history:
+        assert h["loss"] == losses_a[h["step"]], (h, losses_a[h["step"]])
+    np.testing.assert_array_equal(
+        np.asarray(tr_b.scene.params.xyz), np.asarray(tr_a.scene.params.xyz)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tr_b.exposure.params), np.asarray(tr_a.exposure.params)
+    )
+
+
 def test_depth_regularization_loss_decreases():
     """w_depth > 0 adds an inverse-depth L1 against dataset depth maps —
     the reference's unfinished "add depth regularization" roadmap item
