@@ -155,12 +155,49 @@ def parity_gate(w=512, h=384, n=100_000):
                  has_aux=True)
     )(*args)
     deltas["image_max_abs"] = float(jnp.abs(img_p - img_t).max())
-    gmax = 0.0
-    for gp, gt in zip(grad_p, grad_t):
+    # per-parameter deltas (VERDICT r2 #7: a single max hides which
+    # parameter's gradient carries the bf16 routing error)
+    names = ("xyz", "opacity", "scales", "quats", "sh")
+    per_param = {}
+    for name, gp, gt in zip(names, grad_p, grad_t):
         scale = float(jnp.abs(gt).max()) + 1e-12
-        gmax = max(gmax, float(jnp.abs(gp - gt).max()) / scale)
-    deltas["grad_max_rel"] = gmax
+        per_param[name] = round(float(jnp.abs(gp - gt).max()) / scale, 6)
+    deltas["grad_rel_per_param"] = per_param
+    deltas["grad_max_rel"] = max(per_param.values())
     return deltas
+
+
+def roofline_ms(pairs: int, block: int, n_splats: int, w: int, h: int):
+    """Speed-of-light model for the bench step (VERDICT r2 #6): the
+    attainable ms given the irreducible work at this shape, so progress is a
+    fraction, not an absolute. Two bounds (BASELINE.md "Roofline" section
+    derives the constants):
+
+    - hard floor: HBM bytes at 819 GB/s (v5e) + compositor pair-pixel blend
+      at the best rate any kernel has achieved on this chip (fwd 413 G
+      pair-px/s, bwd 275 — round-2 profile of the 32px-tile kernels, which
+      are VPU-bound, not HBM-bound). Binning at its ~bytes-only floor.
+    - attainable: same compositor bound + the binning kernels at their
+      current measured per-pair rate (14.1 ns/pair across expansion +
+      destinations + histogram) — what a zero-XLA-glue, zero-dispatch-gap
+      step would cost without inventing new kernels.
+    """
+    pair_px = pairs * block * block
+    comp_ms = 1e3 * (pair_px / 413e9 + pair_px / 275e9)
+    # HBM: params+grads+Adam moments (7 x 236 B/splat), prep, pair features
+    # fwd+bwd (16 f32 + bf16 cotangents), images/loss/SSIM (~8 x 3HW f32)
+    bytes_total = (
+        7 * 236 * n_splats  # Adam + param grads
+        + (236 + 2 * 52) * n_splats  # preprocess fwd read + prep + bwd
+        + (3 * 16 * 4 + 16 * 2) * pairs  # pair features + cotangents
+        + 10 * 3 * 4 * w * h  # image, target, SSIM maps, grads
+        + 8 * 6 * pairs  # sort keys / ids / offsets passes
+    )
+    mem_ms = 1e3 * bytes_total / 819e9
+    binning_attain_ms = 1e3 * pairs * 14.1e-9
+    hard = comp_ms + mem_ms
+    attain = comp_ms + mem_ms + binning_attain_ms
+    return hard, attain
 
 
 def main():
@@ -171,6 +208,7 @@ def main():
     step_s, compile_s, actual_pairs, budget = run(w, h, n)
     parity = parity_gate()
     rays_per_s = w * h / step_s
+    hard_ms, attain_ms = roofline_ms(actual_pairs, BENCH_BLOCK, n, w, h)
     result = {
         "metric": "rays/s/chip fwd+bwd, 1080p, 1M splats, SH3",
         "value": round(rays_per_s, 1),
@@ -183,6 +221,9 @@ def main():
             "impl": "pallas",
             "pairs": actual_pairs,
             "pair_budget": budget,
+            "roofline_hard_ms": round(hard_ms, 1),
+            "roofline_attainable_ms": round(attain_ms, 1),
+            "pct_of_roofline": round(100 * attain_ms / (1e3 * step_s), 1),
             "parity_512x384_100k": parity,
         },
     }

@@ -294,6 +294,9 @@ def make_sharded_train_step(
     rasterize_fn = resolve_rasterizer(name if name != "auto" else impl)
     n_tile = mesh.shape["tile"]
     n_view = mesh.shape["view"]
+    n_dev = n_tile * n_view
+    # optimizer-state sharding needs equal splat shards per device
+    shard_adam = cfg.capacity % n_dev == 0
     use_exp = bool(getattr(cfg, "use_exposure", False))
     use_depth = float(getattr(cfg, "w_depth", 0.0)) > 0.0
     block = cfg.tiling.resolve_block(impl)
@@ -394,21 +397,60 @@ def make_sharded_train_step(
             # each view's own full-image exposure gradient: sum the band
             # partials over the tile ring, undo the 1/b_local batch mean
             exp_grad = jax.lax.psum(grads[2], "tile") * b_local
-        # d(batch-mean loss)/d(params): each device's partial is
-        # (1/b_local) * d loss_v / d theta restricted to its band; summing the
-        # ring reassembles each view's full gradient, summing views and
-        # dividing by n_view yields the global batch mean.
-        param_grads = jax.tree.map(
-            lambda g: jax.lax.psum(g, ("view", "tile")) / n_view, param_grads
-        )
+        if shard_adam:
+            # ZeRO-1-style optimizer sharding: the Adam update is the largest
+            # per-device cost that does not divide with the band count
+            # (~7 x 59 f32/splat of moment/param traffic, replicated on every
+            # device — the 1x16 struct-eff residual in BENCH.md). Instead:
+            # reduce-scatter the summed gradients (half the ICI traffic of the
+            # psum they replace), update only this device's capacity/N splat
+            # rows with shard-local moments, and all-gather the updated rows.
+            param_grads = jax.tree.map(
+                lambda g: jax.lax.psum_scatter(
+                    g, ("view", "tile"), scatter_dimension=0, tiled=True
+                ) / n_view,
+                param_grads,
+            )
+            shard_rows = scene.capacity // n_dev
+            dev_idx = (
+                jax.lax.axis_index("view") * n_tile
+                + jax.lax.axis_index("tile")
+            )
+
+            def shard_of(p):
+                return jax.lax.dynamic_slice_in_dim(
+                    p, dev_idx * shard_rows, shard_rows, axis=0
+                )
+
+            params_shard = jax.tree.map(shard_of, scene.params)
+            new_shard, adam = adam_update(
+                params_shard, param_grads, adam, schedules, cfg.optimizer,
+                step,
+            )
+            new_params = jax.tree.map(
+                lambda x: jax.lax.all_gather(
+                    x, ("view", "tile"), axis=0, tiled=True
+                ),
+                new_shard,
+            )
+        else:
+            # d(batch-mean loss)/d(params): each device's partial is
+            # (1/b_local) * d loss_v / d theta restricted to its band; summing
+            # the ring reassembles each view's full gradient, summing views
+            # and dividing by n_view yields the global batch mean.
+            param_grads = jax.tree.map(
+                lambda g: jax.lax.psum(g, ("view", "tile")) / n_view,
+                param_grads,
+            )
+            new_params, adam = adam_update(
+                scene.params, param_grads, adam, schedules, cfg.optimizer,
+                step,
+            )
         # per-view screen-space signal: the reference accumulates the gradient
         # of each view's *own* loss (gs_lightning_module.py:175-178), so undo
         # the 1/b_local from the local mean; no batch-size dependence remains.
         screen_grads = jax.lax.psum(screen_grads, "tile") * b_local
 
-        new_params, adam = adam_update(
-            scene.params, param_grads, adam, schedules, cfg.optimizer, step
-        )
         scene = dataclasses.replace(scene, params=new_params)
 
         # densification statistics: per-view contributions combined across
@@ -442,8 +484,15 @@ def make_sharded_train_step(
             return scene, adam, logs, exp_grad
         return scene, adam, logs
 
-    in_specs = [P(), P(), P(), P("view"), P("view"), P("view")]
-    out_specs = [P(), P(), P()]
+    from gaussian_splatting_lightning_tpu.training.optimizer import AdamState
+
+    adam_spec = (
+        AdamState(count=P(), mu=P(("view", "tile")), nu=P(("view", "tile")))
+        if shard_adam
+        else P()
+    )
+    in_specs = [P(), adam_spec, P(), P("view"), P("view"), P("view")]
+    out_specs = [P(), adam_spec, P()]
     if use_exp:
         in_specs.append(P("view"))
         out_specs.append(P("view"))  # (B, 3, 4) per-view exposure grads

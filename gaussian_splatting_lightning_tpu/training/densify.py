@@ -108,10 +108,25 @@ def densify_and_prune(
 
     # ---- prune (gaussian_model.py:212-237) ------------------------------
     keep = scene.alive & (opacity > cfg.prune_opacity_threshold)
+    n_pruned_opacity = jnp.sum(
+        (scene.alive & (opacity <= cfg.prune_opacity_threshold)).astype(
+            jnp.int32
+        )
+    )
+    n_pruned_screen = jnp.zeros((), jnp.int32)
+    n_pruned_size = jnp.zeros((), jnp.int32)
     if apply_screensize:
         if cfg.use_screensize_threshold:
-            keep = keep & (scene.max_radii2d < cfg.prune_screensize_threshold)
-        keep = keep & (size < cfg.prune_size_threshold * spatial_scale)
+            big_screen = scene.alive & (
+                scene.max_radii2d >= cfg.prune_screensize_threshold
+            )
+            n_pruned_screen = jnp.sum(big_screen.astype(jnp.int32))
+            keep = keep & ~big_screen
+        big_world = scene.alive & (
+            size >= cfg.prune_size_threshold * spatial_scale
+        )
+        n_pruned_size = jnp.sum(big_world.astype(jnp.int32))
+        keep = keep & ~big_world
 
     # ---- densification signal (gaussian_model.py:198-205) ---------------
     grad = jnp.where(
@@ -185,6 +200,9 @@ def densify_and_prune(
         "n_cloned": jnp.sum(clone_mask.astype(jnp.int32)),
         "n_split": jnp.sum(split_mask.astype(jnp.int32)),
         "n_pruned": jnp.sum((scene.alive & ~keep).astype(jnp.int32)),
+        "n_pruned_opacity": n_pruned_opacity,
+        "n_pruned_screen": n_pruned_screen,
+        "n_pruned_size": n_pruned_size,
         "n_dropped_children": jnp.maximum(n_child - n_free, 0),
         "n_alive": jnp.sum(alive.astype(jnp.int32)),
     }

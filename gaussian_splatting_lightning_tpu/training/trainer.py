@@ -529,6 +529,15 @@ class Trainer:
                     f"[densify] step {t}: capacity full, dropped "
                     f"{int(stats['n_dropped_children'])} children"
                 )
+            n_pruned = int(stats["n_pruned"])
+            if n_pruned > max(100, 0.1 * int(stats["n_alive"])):
+                self.log_fn(
+                    f"[densify] step {t}: pruned {n_pruned} "
+                    f"(opacity {int(stats['n_pruned_opacity'])}, "
+                    f"screen {int(stats['n_pruned_screen'])}, "
+                    f"size {int(stats['n_pruned_size'])}), "
+                    f"alive {int(stats['n_alive'])}"
+                )
         if t % d.opacity_reset_interval == 0:
             self.scene = opacity_reset_step(self.scene)
         if t % d.sh_degree_step_interval == 0:

