@@ -430,7 +430,7 @@ def expand_pairs_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec(
                 (1, EXP_BLK // 128, 128), lambda i, *_: (i, 0, 0),

@@ -382,7 +382,7 @@ def _fwd_call(feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret,
         num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -414,7 +414,7 @@ def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles,
         num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, pix, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
@@ -422,9 +422,9 @@ def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles,
             pl.BlockSpec(
                 (1, pix, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, CHUNK), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -536,7 +536,7 @@ def _segreduce_call(dslot, counts2d, pstart, pchunks, total_arr, interpret):
                 (1, 1, SEG_SPLATS), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, NFEAT, SEG_SPLATS), lambda i, *_: (i, 0, 0),
