@@ -197,3 +197,17 @@ class ViewSampler:
 
     def next_batch(self, batch_size: int) -> List[int]:
         return [self.next_index() for _ in range(batch_size)]
+
+    def state(self) -> dict:
+        """JSON-serializable snapshot for exact-trajectory resume (the
+        trainer checkpoints this so a restored run draws the same view
+        sequence the original would have)."""
+        return {
+            "sampler_state": self.rng.bit_generator.state,
+            "perm": [int(i) for i in self._perm],
+        }
+
+    def set_state(self, state: dict) -> None:
+        self.rng = np.random.default_rng()
+        self.rng.bit_generator.state = state["sampler_state"]
+        self._perm = list(state["perm"])

@@ -312,6 +312,17 @@ def make_sharded_train_step(
     )
 
     def device_fn(scene, adam, step, cameras, images, backgrounds, *extras):
+        # shard_adam was decided from cfg.capacity (the shard_map specs need
+        # it before tracing); if the actual scene disagrees, psum_scatter
+        # would fail at trace with an opaque shape error — guard it here
+        # with an actionable one (ADVICE r3 #4)
+        if shard_adam and scene.capacity % n_dev != 0:
+            raise ValueError(
+                f"scene capacity {scene.capacity} is not divisible by "
+                f"{n_dev} devices but cfg.capacity={cfg.capacity} selected "
+                "sharded Adam — pass a scene whose capacity matches "
+                "cfg.capacity (or a capacity divisible by the mesh size)"
+            )
         # optional positional tail, matching in_specs below
         extras = list(extras)
         exp_mats = extras.pop(0) if use_exp else None

@@ -138,15 +138,30 @@ def main():
             dt = (time.perf_counter() - t0) / args.iters
         rays = w * h * n_view / dt  # global batch renders n_view views/step
         if base_cost is None:
-            base_cost = (flops, bytes_)
-        # wall eff vs the 1-device row (rays/s per device)
-        eff = (rays / n_dev) / rows[0][2] if rows else 1.0
+            # normalize against the first successfully-run mesh, recording
+            # its geometry instead of assuming 1x1 (ADVICE r3 #3: a custom
+            # --meshes list may not start at 1x1)
+            base_cost = (flops, bytes_, n_tile, n_dev, rays / n_dev)
+            if n_dev != 1:
+                print(
+                    f"WARNING: baseline mesh is {n_view}x{n_tile} "
+                    f"({n_dev} devices), not 1x1 — eff/struct-eff columns "
+                    "are relative to this multi-device baseline"
+                )
+        # wall eff vs the baseline row (rays/s per device)
+        eff = (rays / n_dev) / base_cost[4]
         # structural efficiency: ideal per-device work for the same
-        # per-view image is work(1)/n_tile at n_view views — cost_analysis
-        # is per device and each device handles 1 view's band, so
-        # work_ideal = work(1 dev, 1 view) / n_tile.
-        f_eff = base_cost[0] / (n_tile * flops) if flops else float("nan")
-        b_eff = base_cost[1] / (n_tile * bytes_) if bytes_ else float("nan")
+        # per-view image is work(1 view)/n_tile — cost_analysis is per
+        # device and each device handles 1 view's band, so work(1 view)
+        # ~= base_flops * base_n_tile and work_ideal = work(1 view)/n_tile.
+        f_eff = (
+            base_cost[0] * base_cost[2] / (n_tile * flops)
+            if flops else float("nan")
+        )
+        b_eff = (
+            base_cost[1] * base_cost[2] / (n_tile * bytes_)
+            if bytes_ else float("nan")
+        )
         rows.append(
             (f"{n_view}x{n_tile}", 1e3 * dt, rays, eff, flops, bytes_,
              f_eff, b_eff)

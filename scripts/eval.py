@@ -30,6 +30,13 @@ def main():
     parser.add_argument("--idx-file", default=None)
     parser.add_argument("--white-background", action="store_true")
     parser.add_argument("--use-oracle", action="store_true")
+    parser.add_argument(
+        "--lpips-weights", default=None,
+        help="path to an lpips_vgg16.npz exported by "
+        "scripts/export_lpips_weights.py; adds LPIPS to the metrics "
+        "(pretrained weights are not obtainable inside this image — "
+        "BASELINE.md 'LPIPS' note)",
+    )
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -51,6 +58,11 @@ def main():
     from gaussian_splatting_lightning_tpu.utils import setup_compilation_cache
 
     setup_compilation_cache()
+    lpips_weights = None
+    if args.lpips_weights:
+        from gaussian_splatting_lightning_tpu.ops.lpips import load_weights
+
+        lpips_weights = load_weights(args.lpips_weights)
     scene = load_ply(args.checkpoint)
     from gaussian_splatting_lightning_tpu.data.nerf import (
         NerfDataset,
@@ -141,25 +153,31 @@ def main():
                 )
         gt = jnp.asarray(view.image)
         image = jnp.clip(image, 0.0, 1.0)
-        rows.append(
-            dict(
-                view=view.name or str(i),
-                psnr=float(psnr(image, gt)),
-                ssim=float(ssim(image, gt)),
-                l1=float(jnp.mean(jnp.abs(image - gt))),
-            )
+        row = dict(
+            view=view.name or str(i),
+            psnr=float(psnr(image, gt)),
+            ssim=float(ssim(image, gt)),
+            l1=float(jnp.mean(jnp.abs(image - gt))),
         )
+        if lpips_weights is not None:
+            from gaussian_splatting_lightning_tpu.ops.lpips import lpips
+
+            row["lpips"] = float(lpips(image, gt, lpips_weights))
+        rows.append(row)
         print(
-            f"{rows[-1]['view']}: psnr={rows[-1]['psnr']:.2f} "
-            f"ssim={rows[-1]['ssim']:.4f} l1={rows[-1]['l1']:.4f}"
+            f"{row['view']}: psnr={row['psnr']:.2f} "
+            f"ssim={row['ssim']:.4f} l1={row['l1']:.4f}"
+            + (f" lpips={row['lpips']:.4f}" if "lpips" in row else "")
         )
 
-    mean = {
-        k: float(np.mean([r[k] for r in rows])) for k in ("psnr", "ssim", "l1")
-    }
+    keys = ("psnr", "ssim", "l1") + (
+        ("lpips",) if lpips_weights is not None else ()
+    )
+    mean = {k: float(np.mean([r[k] for r in rows])) for k in keys}
     print(
         f"MEAN over {len(rows)} views: psnr={mean['psnr']:.2f} "
         f"ssim={mean['ssim']:.4f} l1={mean['l1']:.4f}"
+        + (f" lpips={mean['lpips']:.4f}" if "lpips" in mean else "")
     )
     if args.out:
         with open(args.out, "w") as f:

@@ -809,3 +809,94 @@ def test_validate_regrows_budget_on_drops():
     n_msgs = len(logged)
     trainer.validate()
     assert not any("re-rendering" in m for m in logged[n_msgs:])
+
+def test_checkpoint_retention_keeps_last_n(tmp_path):
+    """save_checkpoint garbage-collects all but the newest keep_last_ckpts
+    checkpoints (VERDICT r3 weak #5: each is a full capacity-sized scene +
+    2x Adam moments, unmanaged multi-GB per run)."""
+    gt, views = _synthetic_views(n_views=2, w=48, h=32)
+    scene = from_points(
+        np.asarray(gt.params.xyz), np.full((40, 3), 0.5, np.float32), 64, 1
+    )
+    cfg = TrainConfig(
+        num_iters=10, capacity=64, log_interval=100, valid_interval=10_000,
+        checkpoint_interval=2, keep_last_ckpts=2, adaptive_pairs=False,
+        tiling=TilingConfig(max_pairs=1 << 14, tile_capacity=64, chunk=32),
+        densify=DensifyConfig(densify_since=100, densify_until=0),
+    )
+    tr = Trainer(
+        cfg, scene, 4.0, views, out_dir=str(tmp_path), log_fn=lambda *a: None
+    )
+    tr.train()
+    ckpts = sorted(p.name for p in tmp_path.glob("ckpt-*"))
+    assert ckpts == ["ckpt-00000008", "ckpt-00000010"], ckpts
+    # the survivor is restorable
+    tr2 = Trainer(
+        cfg, scene, 4.0, views, out_dir=str(tmp_path), log_fn=lambda *a: None
+    )
+    tr2.restore_checkpoint(tmp_path / "ckpt-00000010")
+    assert tr2.step == 10
+
+
+def test_restore_checkpoint_saved_without_exposure(tmp_path):
+    """Backward-compatible resume (ADVICE r3 #2): a checkpoint saved by a
+    non-exposure run restores into a use_exposure=True trainer (exposure
+    keeps its fresh init) instead of orbax failing on the tree mismatch."""
+    gt, views = _synthetic_views(n_views=2, w=48, h=32)
+    scene = from_points(
+        np.asarray(gt.params.xyz), np.full((40, 3), 0.5, np.float32), 64, 1
+    )
+    base = dict(
+        num_iters=2, capacity=64, log_interval=100, valid_interval=10_000,
+        checkpoint_interval=10_000, adaptive_pairs=False,
+        tiling=TilingConfig(max_pairs=1 << 14, tile_capacity=64, chunk=32),
+        densify=DensifyConfig(densify_since=100, densify_until=0),
+    )
+    tr_a = Trainer(
+        TrainConfig(**base), scene, 4.0, views, out_dir=str(tmp_path),
+        log_fn=lambda *a: None,
+    )
+    tr_a.train()
+    ckpt = sorted(tmp_path.glob("ckpt-*"))[-1]
+
+    tr_b = Trainer(
+        TrainConfig(use_exposure=True, **base), scene, 4.0, views,
+        log_fn=lambda *a: None,
+    )
+    tr_b.restore_checkpoint(ckpt)
+    assert tr_b.step == 2
+    assert tr_b.exposure is not None  # fresh init survives the fallback
+    np.testing.assert_array_equal(
+        np.asarray(tr_b.scene.params.xyz), np.asarray(tr_a.scene.params.xyz)
+    )
+
+
+def test_find_resume_checkpoint_picks_newest_run(tmp_path):
+    """--resume auto selection (VERDICT r3 weak #4): newest run by mtime,
+    newest checkpoint by STEP within it — not a lexicographic glob across
+    every run of the experiment."""
+    import os
+    import time as _time
+
+    from gaussian_splatting_lightning_tpu.training.trainer import (
+        find_resume_checkpoint,
+    )
+
+    assert find_resume_checkpoint(tmp_path) is None
+
+    # the lexicographic trap: an OLD run whose path sorts last and whose
+    # step count is higher than the current run's
+    old = tmp_path / "z-old-run"
+    for step in (5, 99):
+        (old / f"ckpt-{step:08d}").mkdir(parents=True)
+    new = tmp_path / "a-new-run"
+    for step in (3, 12):
+        (new / f"ckpt-{step:08d}").mkdir(parents=True)
+    now = _time.time()
+    for p in old.glob("ckpt-*"):
+        os.utime(p, (now - 1000, now - 1000))
+    for p in new.glob("ckpt-*"):
+        os.utime(p, (now, now))
+
+    best = find_resume_checkpoint(tmp_path)
+    assert best == new / "ckpt-00000012", best
