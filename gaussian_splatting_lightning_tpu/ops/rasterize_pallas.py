@@ -109,9 +109,22 @@ def _chunk_alpha(chunk, px, py, rect_mask):
     return dx, dy, e, raw, alpha
 
 
+def _lane_valid(ci, phase, count, dtype):
+    """(1, 128) mask: window position ci*128+j is inside this tile's
+    [phase, phase + count) pair range.
+
+    Tile pair ranges are UNALIGNED in the sorted pair stream (round-4
+    binning), but Mosaic requires 128-aligned lane DMA slices — so each
+    tile reads from the rounded-down chunk boundary and masks the leading
+    ``phase`` lanes (the previous tile's pairs) and the tail (the next
+    tile's) to alpha 0, removing them exactly."""
+    lane = ci * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    return ((lane >= phase) & (lane < phase + count)).astype(dtype)
+
+
 def _fwd_kernel(
     # scalar prefetch
-    cstart_ref, nchunk_ref, ox_ref, oy_ref,
+    astart_ref, nchunk_ref, phase_ref, count_ref, ox_ref, oy_ref,
     # inputs
     feats_hbm, bg_ref,
     # outputs
@@ -126,15 +139,17 @@ def _fwd_kernel(
         ox_ref[t].astype(dtype), oy_ref[t].astype(dtype), dtype, pix, block_x
     )
     U = _strict_upper(dtype)
-    cstart = cstart_ref[t]
+    tstart = pl.multiple_of(astart_ref[t], CHUNK)  # aligned window origin
     n_chunks = nchunk_ref[t]
+    phase = phase_ref[t]
+    count = count_ref[t]
 
     tcar[...] = jnp.ones((pix, 1), dtype)
     acc[...] = jnp.zeros((pix, 8), dtype)
 
     def get_dma(slot, ci):
         return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds((cstart + ci) * CHUNK, CHUNK)],
+            feats_hbm.at[:, pl.ds(tstart + ci * CHUNK, CHUNK)],
             buf.at[slot],
             sem.at[slot],
         )
@@ -154,6 +169,7 @@ def _fwd_kernel(
         get_dma(slot, ci).wait()
         chunk = buf[slot]  # (NFEAT, 128)
         _, _, _, _, alpha = _chunk_alpha(chunk, px, py, rect_mask)
+        alpha = alpha * _lane_valid(ci, phase, count, dtype)
 
         lw = jnp.log1p(-alpha)  # alpha <= 0.99 -> well-conditioned
         cum_excl = jnp.dot(lw, U, preferred_element_type=dtype)
@@ -195,7 +211,8 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     # scalar prefetch
-    cstart_ref, nchunk_ref, ox_ref, oy_ref,
+    astart_ref, nchunk_ref, phase_ref, count_ref, pad_cstart_ref, ox_ref,
+    oy_ref,
     # inputs
     feats_hbm, bg_ref, fwd_out_ref, ct_ref, dfeats_init_hbm,
     # outputs (aliased with dfeats_init: chunks outside every range stay 0)
@@ -210,8 +227,11 @@ def _bwd_kernel(
         ox_ref[t].astype(dtype), oy_ref[t].astype(dtype), dtype, pix, block_x
     )
     U = _strict_upper(dtype)
-    cstart = cstart_ref[t]
+    tstart = pl.multiple_of(astart_ref[t], CHUNK)  # aligned window origin
+    pad_cstart = pad_cstart_ref[t]  # CHUNK offset of the private padded writes
     n_chunks = nchunk_ref[t]
+    phase = phase_ref[t]
+    count = count_ref[t]
 
     G = ct_ref[0]  # (256, 4): dL/d[r g b invd]
     fwd = fwd_out_ref[0]  # (256, NOUT)
@@ -225,7 +245,7 @@ def _bwd_kernel(
 
     def get_dma(slot, ci):
         return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds((cstart + ci) * CHUNK, CHUNK)],
+            feats_hbm.at[:, pl.ds(tstart + ci * CHUNK, CHUNK)],
             buf.at[slot],
             sem.at[slot],
         )
@@ -260,12 +280,14 @@ def _bwd_kernel(
         def colsum(x):  # (slab, 128) -> (1, 128): reduce over pixels
             return jnp.sum(x, axis=0, keepdims=True)
 
+        lane_ok = _lane_valid(ci, phase, count, dtype)
         grad = jnp.zeros((NFEAT, CHUNK), dtype)
         for s in range(n_slabs):
             sl = slice(s * slab, (s + 1) * slab)
             dx, dy, e, raw, alpha = _chunk_alpha(
                 chunk, px[sl], py[sl], rect_mask
             )
+            alpha = alpha * lane_ok
             lw = jnp.log1p(-alpha)
             cum_excl = jnp.dot(lw, U, preferred_element_type=dtype)
             t_in = tcar[sl, :] * jnp.exp(cum_excl)
@@ -327,7 +349,7 @@ def _bwd_kernel(
         def get_out_dma(slot, cj):
             return pltpu.make_async_copy(
                 dbuf.at[slot],
-                dfeats_hbm.at[:, pl.ds((cstart + cj) * CHUNK, CHUNK)],
+                dfeats_hbm.at[:, pl.ds((pad_cstart + cj) * CHUNK, CHUNK)],
                 dsem.at[slot],
             )
 
@@ -363,7 +385,7 @@ def _bwd_kernel(
     def drain_dma(cj):
         return pltpu.make_async_copy(
             dbuf.at[jax.lax.rem(cj, 2)],
-            dfeats_hbm.at[:, pl.ds((cstart + cj) * CHUNK, CHUNK)],
+            dfeats_hbm.at[:, pl.ds((pad_cstart + cj) * CHUNK, CHUNK)],
             dsem.at[jax.lax.rem(cj, 2)],
         )
 
@@ -376,10 +398,10 @@ def _bwd_kernel(
         drain_dma(final_ci - 2).wait()
 
 
-def _fwd_call(feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret,
-              early_stop, pix, block_x, rect_mask):
+def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
+              interpret, early_stop, pix, block_x, rect_mask):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -403,15 +425,15 @@ def _fwd_call(feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret,
         out_shape=jax.ShapeDtypeStruct((n_tiles, pix, NOUT), feats.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(cstart, nchunk, ox, oy, feats, bg)
+    )(astart, nchunk, phase, count, ox, oy, feats, bg)
 
 
-def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles,
-              interpret, pix, block_x, rect_mask, early_stop,
-              grad_dtype=None):
+def _bwd_call(feats, bg, fwd_out, ct, astart, nchunk, phase, count,
+              pad_cstart, m_pad, ox, oy, n_tiles, interpret, pix, block_x,
+              rect_mask, early_stop, grad_dtype=None):
     grad_dtype = grad_dtype or feats.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=7,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -434,18 +456,19 @@ def _bwd_call(feats, bg, fwd_out, ct, cstart, nchunk, ox, oy, n_tiles,
             pltpu.VMEM((pix, 1), feats.dtype),
         ],
     )
-    dfeats_init = jnp.zeros(feats.shape, grad_dtype)
+    dfeats_init = jnp.zeros((NFEAT, m_pad), grad_dtype)
     return pl.pallas_call(
         functools.partial(
             _bwd_kernel, pix=pix, block_x=block_x, rect_mask=rect_mask,
             early_stop=early_stop,
         ),
-        out_shape=jax.ShapeDtypeStruct(feats.shape, grad_dtype),
+        out_shape=jax.ShapeDtypeStruct((NFEAT, m_pad), grad_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-        input_output_aliases={8: 0},
+        input_output_aliases={11: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(cstart, nchunk, ox, oy, feats, bg, fwd_out, ct, dfeats_init)
+    )(astart, nchunk, phase, count, pad_cstart, ox, oy, feats, bg, fwd_out,
+      ct, dfeats_init)
 
 
 # -- backward segment-reduce: per-splat sums over contiguous slot ranges ----
@@ -592,37 +615,40 @@ def make_pair_pipeline(
     rect_mask = block != 16
     grad_dtype = jnp.bfloat16 if grad_bf16 else None
 
-    def _gather(gfeat_t, gidx, valid):
-        return jnp.take(gfeat_t, jnp.clip(gidx, 0), axis=1) * valid.astype(
-            gfeat_t.dtype
-        )[None, :]
+    def _gather(gfeat_t, gauss_pad):
+        # ONE row gather builds the sorted-order pair features; tail lanes
+        # of boundary chunks are cut by the in-kernel count mask, so no
+        # validity multiply is needed
+        return jnp.take(gfeat_t, gauss_pad, axis=1)
 
     @jax.custom_vjp
-    def run(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total,
-            inv_order, bg, cstart, nchunk, ox, oy):
-        feats = _gather(gfeat_t, gidx, valid)
+    def run(gfeat_t, gauss_pad, dst_sorted, slot_sorted, offsets, total,
+            inv_order, bg, astart, nchunk, phase, count, pad_cstart, ox, oy):
+        feats = _gather(gfeat_t, gauss_pad)
         return _fwd_call(
-            feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop,
-            pix, block, rect_mask,
+            feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
+            interpret, early_stop, pix, block, rect_mask,
         )
 
-    def fwd(gfeat_t, gidx, valid, dst_sorted, slot_sorted, offsets, total,
-            inv_order, bg, cstart, nchunk, ox, oy):
-        feats = _gather(gfeat_t, gidx, valid)
+    def fwd(gfeat_t, gauss_pad, dst_sorted, slot_sorted, offsets, total,
+            inv_order, bg, astart, nchunk, phase, count, pad_cstart, ox, oy):
+        feats = _gather(gfeat_t, gauss_pad)
         out = _fwd_call(
-            feats, bg, cstart, nchunk, ox, oy, n_tiles, interpret, early_stop,
-            pix, block, rect_mask,
+            feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
+            interpret, early_stop, pix, block, rect_mask,
         )
         return out, (feats, bg, out, dst_sorted, slot_sorted, offsets, total,
-                     inv_order, cstart, nchunk, ox, oy)
+                     inv_order, astart, nchunk, phase, count, pad_cstart,
+                     ox, oy)
 
     def bwd(res, ct):
         (feats, bg, out, dst_sorted, slot_sorted, offsets, total, inv_order,
-         cstart, nchunk, ox, oy) = res
+         astart, nchunk, phase, count, pad_cstart, ox, oy) = res
         ct4 = ct[:, :, 0:4]  # cotangent for [r g b invd]; tfin ct ignored
         dcols_t = _bwd_call(
-            feats, bg, out, ct4, cstart, nchunk, ox, oy, n_tiles, interpret,
-            pix, block, rect_mask, early_stop, grad_dtype,
+            feats, bg, out, ct4, astart, nchunk, phase, count, pad_cstart,
+            m_pad, ox, oy, n_tiles, interpret, pix, block, rect_mask,
+            early_stop, grad_dtype,
         )  # (NFEAT, m_pad) in grad dtype; zero outside every tile range
 
         max_pairs = dst_sorted.shape[0]
@@ -667,16 +693,18 @@ def make_pair_pipeline(
         f0 = jax.dtypes.float0
         return (
             dtable,
-            np.zeros((m_pad,), f0),            # gidx
-            np.zeros((m_pad,), f0),            # valid
+            np.zeros((dst_sorted.shape[0] + 2 * CHUNK,), f0),  # gauss_pad
             np.zeros(dst_sorted.shape, f0),
             np.zeros(slot_sorted.shape, f0),
             np.zeros(offsets.shape, f0),
             np.zeros(total.shape, f0),
             np.zeros(inv_order.shape, f0),
             jnp.zeros_like(bg),
-            np.zeros(cstart.shape, f0),
+            np.zeros(astart.shape, f0),
             np.zeros(nchunk.shape, f0),
+            np.zeros(phase.shape, f0),
+            np.zeros(count.shape, f0),
+            np.zeros(pad_cstart.shape, f0),
             np.zeros(ox.shape, f0),
             np.zeros(oy.shape, f0),
         )
@@ -718,23 +746,24 @@ def rasterize_pallas(
     gy = grid_y_local if banded else grid_y
     n_tiles = grid_x * gy
 
-    # bigger sort blocks at large tile counts keep the (blocks x tiles)
-    # histogram small (1080p: 8160 16px tiles -> 33 MB instead of 134 MB)
-    sort_block = 8192 if n_tiles >= 2048 else 2048
-    max_pairs = -(-config.max_pairs // sort_block) * sort_block
-    m_pad = max_pairs + CHUNK * n_tiles
-    m_pad = ((m_pad + CHUNK - 1) // CHUNK) * CHUNK
-    (gidx, order, valid, cstart, nchunk, tile_count, num_pairs,
-     num_dropped, dst_sorted, slot_sorted, slot_offsets) = (
-        binning.build_aligned_bins(
+    max_pairs = -(-config.max_pairs // CHUNK) * CHUNK
+    # m_pad sizes only the BACKWARD pair-gradient layout (each tile's
+    # aligned read window padded up to whole chunks — at most 2 chunks of
+    # overhead per tile); the forward stream is unpadded
+    m_pad = max_pairs + 2 * CHUNK * n_tiles
+    (gauss_s, slot_sorted, dst_sorted, astart, phase, tile_count, pad_cstart,
+     nchunk, num_pairs, num_dropped, slot_offsets, order) = (
+        binning.build_sorted_bins(
             prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
-            sort_block, interpret=interpret, block=blk,
+            interpret=interpret, block=blk,
         )
     )
-    # Packed per-splat feature rows (original order — gidx carries original
-    # ids), then ONE contiguous row gather per pair; the pair gather carries
-    # a custom VJP (segment-reduce over depth-grouped slots) instead of
-    # XLA's serialized scatter-adds.
+    # Packed per-splat feature rows (original order — gauss_s carries
+    # original ids), then ONE contiguous row gather per pair; the pair
+    # gather carries a custom VJP (segment-reduce over depth-grouped slots)
+    # instead of XLA's serialized scatter-adds. The +2*CHUNK pad keeps the
+    # compositor's overhanging last-window DMA in bounds.
+    gauss_pad = jnp.pad(gauss_s, (0, 2 * CHUNK))
     zeros_n = jnp.zeros_like(prep.depth)
     if blk != 16:
         # reference-granularity membership rect (see F_X0 note above);
@@ -771,9 +800,9 @@ def rasterize_pallas(
         grad_bf16=config.pair_grad_bf16,
     )
     out = pipeline(
-        gfeat_t, gidx, valid, dst_sorted, slot_sorted, slot_offsets,
+        gfeat_t, gauss_pad, dst_sorted, slot_sorted, slot_offsets,
         jnp.asarray(num_pairs, jnp.int32), jnp.argsort(order),
-        bg_pad, cstart, nchunk, ox, oy,
+        bg_pad, astart, nchunk, phase, tile_count, pad_cstart, ox, oy,
     )  # (T, pix, NOUT)
 
     out_h = gy * blk if banded else height
