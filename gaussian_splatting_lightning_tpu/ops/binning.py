@@ -10,18 +10,22 @@ is:
 1. Sort splats by view depth once, globally (lax.sort — O(N log N), runs on
    chip). Per-tile depth order is then a subsequence of the global order.
 2. Expand (splat, tile) pairs into a *static* budget of ``max_pairs`` slots
-   with searchsorted over the exclusive prefix sum of tiles-touched — every
+   (the Pallas expansion kernel, or a scatter+cummax fill path) — every
    slot computes its (gaussian, tile) pair independently (pure vector code).
    Because expansion enumerates splats in depth order, pair order within a
    tile is already depth-ascending.
-3. One *stable* sort by tile id groups pairs per tile while preserving depth
-   order — a 16/32-bit single-key sort instead of CUDA's 64-bit
-   (tile|depth) radix sort.
-4. Per-tile [start, count) ranges via searchsorted.
+3. One *stable* global sort by tile id groups pairs per tile while
+   preserving depth order — a 16/32-bit single-key sort instead of CUDA's
+   64-bit (tile|depth) radix sort.
+4. Everything positional is then closed-form (build_sorted_bins): tile
+   ranges from T searchsorted queries, backward-write destinations from a
+   monotone per-tile delta forward-filled with one scatter + cummax.
 
-Overflowing pairs (budget exhausted) drop the *farthest* splats first —
-graceful degradation, with the drop count reported for logging (the
-"no silent caps" rule).
+Two products share stages 1-2: ``build_tile_bins`` (per-tile index tables,
+the XLA compositing path) and ``build_sorted_bins`` (the Pallas
+compositor's sorted-stream layout). Overflowing pairs (budget exhausted)
+drop the *farthest* splats first — graceful degradation, with the drop
+count reported for logging (the "no silent caps" rule).
 """
 
 from __future__ import annotations
@@ -145,137 +149,6 @@ def build_tile_bins(
         num_pairs=total,
         num_dropped=jnp.maximum(total - max_pairs, 0),
     )
-
-
-# --- Pallas counting-sort kernels ------------------------------------------
-#
-# After the blocked sort, XLA's remaining counting-sort stages cost ~95 ms at
-# 4.7M pairs on v5e: the per-(block, tile) histogram lowers to a scatter-add
-# (~41 ms), the per-pair base lookup to a serialized gather (~48 ms), plus the
-# run-start cummax for ranks. Block-sorted keys cluster: the keys of one
-# 128-key chunk almost always fall inside one 256-wide tile window, so a
-# (128, 256) one-hot turns histogram/rank/base-lookup into VPU compares and
-# tiny MXU matmuls. A persistent VMEM running histogram carried across the
-# (sequential) TPU grid replaces the cross-block prefix sums outright: the
-# destination of a pair is pad_start[tile] + (pairs of this tile seen so
-# far), accumulated in depth order.
-
-HIST_CHUNK = 128  # keys per inner step
-HIST_WIN = 256  # one-hot window width (2 x 128 lanes)
-
-
-def _win_onehot_halves(keys, w_lo):
-    """(128, 1) int keys vs window [w_lo, w_lo + 256) as two (128, 128)
-    one-hot halves — all shapes stay lane-native (Mosaic cannot shape-cast a
-    256-lane row into (2, 128))."""
-    cols = w_lo + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    oh0 = (keys == cols).astype(jnp.float32)
-    oh1 = (keys == cols + 128).astype(jnp.float32)
-    return oh0, oh1
-
-
-def _hist_kernel(keys_ref, out_ref, *, n_chunks):
-    """Per-block tile histogram over block-sorted keys.
-
-    keys_ref: (1, n_chunks, 128) int32 sorted ascending within the block.
-    out_ref: (1, n_rows, 128) int32 — counts laid out tile t -> (t//128, t%128).
-    """
-    out_ref[...] = jnp.zeros_like(out_ref)
-
-    def chunk_body(c, _):
-        keys = keys_ref[0, c].reshape(HIST_CHUNK, 1)
-
-        # walk the chunk in 256-wide key windows; w_end (the exclusive end of
-        # the processed key range) is always a multiple of 128, so the next
-        # window's floor-aligned start never re-covers processed keys
-        def cond(w_end):
-            return jnp.any(keys >= w_end)
-
-        def body(w_end):
-            k0 = jnp.min(jnp.where(keys >= w_end, keys, jnp.int32(1 << 30)))
-            w_row = k0 // 128
-            oh0, oh1 = _win_onehot_halves(keys, w_row * 128)
-            counts = jnp.concatenate(
-                [
-                    jnp.sum(oh0, axis=0, keepdims=True),
-                    jnp.sum(oh1, axis=0, keepdims=True),
-                ],
-                axis=0,
-            ).astype(jnp.int32)  # (2, 128): one ref update per window
-            out_ref[0, pl.ds(w_row, 2), :] += counts
-            return w_row * 128 + HIST_WIN
-
-        jax.lax.while_loop(cond, body, jnp.int32(0))
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-
-def _dst_kernel(keys_ref, base_ref, out_ref, runhist, *, n_chunks):
-    """Aligned destination of every block-sorted pair.
-
-    dst = base[tile] + (same-tile pairs seen in earlier blocks/chunks, from
-    the persistent running histogram) + (rank among same-tile keys within
-    this chunk, via a strictly-lower-triangular MXU matmul). All lookups are
-    one-hot matmuls against the 256-wide key window; values stay exact in
-    f32 (< 2^24).
-    """
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        runhist[...] = jnp.zeros_like(runhist)
-
-    r = jax.lax.broadcasted_iota(jnp.int32, (HIST_CHUNK, HIST_CHUNK), 0)
-    c_ = jax.lax.broadcasted_iota(jnp.int32, (HIST_CHUNK, HIST_CHUNK), 1)
-    L = (r > c_).astype(jnp.bfloat16)  # strictly lower: earlier rows count
-
-    def chunk_body(c, _):
-        keys = keys_ref[0, c].reshape(HIST_CHUNK, 1)
-
-        def cond(state):
-            return jnp.any(keys >= state[0])
-
-        def body(state):
-            w_end, acc = state
-            k0 = jnp.min(jnp.where(keys >= w_end, keys, jnp.int32(1 << 30)))
-            w_row = k0 // 128
-            oh0, oh1 = _win_onehot_halves(keys, w_row * 128)
-            base2 = base_ref[pl.ds(w_row, 2), :]  # one read per window
-            run2 = runhist[pl.ds(w_row, 2), :]
-
-            # one-hot gather from a (1, 128) table row: broadcast multiply +
-            # row sum (VPU; dot_general here trips Mosaic's accumulator rule)
-            def lane_gather(oh, table_row):
-                return jnp.sum(oh * table_row, axis=1, keepdims=True)
-
-            def half(oh, h):
-                base_g = lane_gather(oh, base2[h : h + 1, :])
-                run_g = lane_gather(oh, run2[h : h + 1, :])
-                lower = jax.lax.dot_general(
-                    L, oh.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (128, 128): same-key rows above within the chunk
-                rank = jnp.sum(lower * oh, axis=1, keepdims=True)
-                return base_g + run_g + rank
-
-            acc = acc + half(oh0, 0) + half(oh1, 1)
-            counts = jnp.concatenate(
-                [
-                    jnp.sum(oh0, axis=0, keepdims=True),
-                    jnp.sum(oh1, axis=0, keepdims=True),
-                ],
-                axis=0,
-            )
-            runhist[pl.ds(w_row, 2), :] = run2 + counts  # one write per window
-            return w_row * 128 + HIST_WIN, acc
-
-        _, acc = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), jnp.zeros((HIST_CHUNK, 1), jnp.float32)),
-        )
-        out_ref[0, c, :] = acc.reshape(HIST_CHUNK).astype(jnp.int32)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
 # --- Pallas expansion kernel -------------------------------------------------
@@ -459,64 +332,6 @@ def expand_pairs_pallas(
         interpret=interpret,
     )(wstart, scal, tbl3)
     return key3.reshape(-1)[:max_pairs], gauss3.reshape(-1)[:max_pairs]
-
-
-def table_rows(n_tiles: int) -> int:
-    """VMEM table rows: tiles (+1 invalid id) plus window overhang padding
-    so windows never need clamping."""
-    return (n_tiles + 1 + 127) // 128 + HIST_WIN // 128
-
-
-def _hist_call(keys_s, n_rows, interpret):
-    """keys_s (b, SB) block-sorted -> per-block counts (b, n_rows * 128)."""
-    b, sb = keys_s.shape
-    n_chunks = sb // HIST_CHUNK
-    keys3 = keys_s.reshape(b, n_chunks, HIST_CHUNK)
-    hist = pl.pallas_call(
-        functools.partial(_hist_kernel, n_chunks=n_chunks),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, n_chunks, HIST_CHUNK), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n_rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n_rows, 128), jnp.int32),
-        interpret=interpret,
-    )(keys3)
-    return hist.reshape(b, -1)
-
-
-def _dst_call(keys_s, base_table, interpret):
-    """keys_s (b, SB), base_table (n_rows * 128,) f32 -> dst (b * SB,)."""
-    b, sb = keys_s.shape
-    n_chunks = sb // HIST_CHUNK
-    n_rows = base_table.shape[0] // 128
-    keys3 = keys_s.reshape(b, n_chunks, HIST_CHUNK)
-    dst = pl.pallas_call(
-        functools.partial(_dst_kernel, n_chunks=n_chunks),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, n_chunks, HIST_CHUNK), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (n_rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n_chunks, HIST_CHUNK), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n_chunks, HIST_CHUNK), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_rows, 128), jnp.float32)],
-        interpret=interpret,
-    )(keys3, base_table.reshape(n_rows, 128))
-    return dst.reshape(-1)
 
 
 def build_sorted_bins(
@@ -735,236 +550,6 @@ def _expand_keys(
         # translate to original index space (matches the Pallas branch)
         gauss = order.astype(jnp.int32)[g_s]
     return key, gauss, order, offsets, total
-
-
-def build_aligned_bins(
-    prep: Preprocessed,
-    grid_x: int,
-    grid_y: int,
-    max_pairs: int,
-    m_pad: int,
-    tile_y_offset=0,
-    grid_y_local: int | None = None,
-    sort_block: int = 2048,
-    pallas_hist_dst: bool = True,
-    interpret: bool = False,
-    block: int = BLOCK_X,
-):
-    """Fused binning for the Pallas path: expansion -> *blocked* counting
-    sort -> direct scatter into the chunk-aligned pair layout.
-
-    Replaces the global M-element stable sort (a ~20-pass HBM operation on
-    TPU) with per-block sorts that fit in VMEM plus a (blocks x tiles)
-    histogram prefix — the TPU shape of a radix/counting sort:
-
-      1. expand pairs in depth order into ``max_pairs`` slots (static);
-      2. stable-sort each block of ``sort_block`` pairs by tile key
-         (depth order preserved within blocks; blocks are depth-ordered);
-      3. per-(block, tile) histogram + two small prefix sums give every
-         pair's exact destination: aligned_start[tile] + pairs of the same
-         tile in earlier blocks + rank within (block, tile) — the rank
-         comes from a neighbor-compare/cummax run-start trick, not a scan;
-      4. one scatter lands (gaussian id, valid) straight into the aligned
-         slots consumed by the kernels. No intermediate tile-sorted arrays.
-
-    Returns (gidx (m_pad,) in *original index space*, order (N,) the depth
-    permutation, valid (m_pad,), cstart (T,), nchunk (T,), tile_count (T,),
-    num_pairs, num_dropped, dst, slot_s, offsets). ``offsets`` group the
-    expansion slots by depth rank; the depth-rank-k group belongs to
-    original splat order[k].
-    """
-    chunk = 128  # kernel chunk alignment (rasterize_pallas.CHUNK)
-    n = prep.depth.shape[0]
-    if grid_y_local is None:
-        grid_y_local = grid_y
-    n_tiles = grid_x * grid_y_local
-
-    x0, y0g, x1, y1g = tf.tile_rect(
-        prep.p_pix, prep.radius_bin, grid_x, grid_y, block, block
-    )
-    y0 = jnp.clip(y0g - tile_y_offset, 0, grid_y_local)
-    y1 = jnp.clip(y1g - tile_y_offset, 0, grid_y_local)
-    nx = jnp.maximum(x1 - x0, 0)
-    ny = jnp.maximum(y1 - y0, 0)
-    ntiles = jnp.where(prep.visible, nx * ny, 0).astype(jnp.int32)
-
-    # live prefix = visible splats with at least one (possibly band-clipped)
-    # tile: guarantees slot owners advance by <= 1 per slot, the invariant
-    # the Pallas expansion kernel's static windows rely on
-    depth_key = jnp.where(prep.visible & (ntiles > 0), prep.depth, jnp.inf)
-    order = jnp.argsort(depth_key)
-
-    use_pallas = pallas_hist_dst and m_pad + max_pairs < (1 << 24)
-    if use_pallas:
-        # one fused row gather for every per-splat field the expansion
-        # kernel needs (tile assignment carries no gradient, like the fill
-        # path whose int ops were naturally tangent-free)
-        sg = jax.lax.stop_gradient
-        f32 = jnp.float32
-        fields = jnp.stack(
-            [
-                ntiles.astype(f32), x0.astype(f32),
-                jnp.maximum(nx, 1).astype(f32), y0.astype(f32),
-                sg(prep.p_pix[:, 0]), sg(prep.p_pix[:, 1]),
-                sg(prep.cull_r2),
-                jnp.arange(n, dtype=f32),
-            ],
-            axis=1,
-        )  # (N, 8) original order
-        fields_s = fields[order]
-        ntiles_s = fields_s[:, 0].astype(jnp.int32)
-        offsets = jnp.cumsum(ntiles_s) - ntiles_s
-        total = offsets[-1] + ntiles_s[-1]
-        key, gauss = expand_pairs_pallas(
-            offsets, ntiles_s, fields_s[:, 1:],
-            max_pairs, total, grid_x, n_tiles, tile_y_offset, interpret,
-            block,
-        )
-        slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    else:
-        ntiles_s = ntiles[order]
-        x0_s, nx_s = x0[order], jnp.maximum(nx[order], 1)
-        y0_s = y0[order]
-
-        offsets = jnp.cumsum(ntiles_s) - ntiles_s
-        total = offsets[-1] + ntiles_s[-1]
-        slot = jnp.arange(max_pairs, dtype=jnp.int32)
-        # Gather-free XLA expansion. TPU gathers run at ~7 cycles/element,
-        # and the naive expansion needs four M-sized lookups (offsets/x0/nx/
-        # y0 by the owning splat). Because slot ownership is *monotone*,
-        # every lookup is a run-length broadcast: scatter the value at the
-        # run's first slot and forward-fill with a cumulative max.
-        # Non-monotone payloads are made monotone by packing them under the
-        # (monotone) owner index: packed = owner*512 + field (field < 512,
-        # i.e. tile coords of up to 8K-wide images; owner < 2^22 splats) —
-        # unpacked with the owner from the same fill. Duplicate offsets
-        # (zero-area splats) resolve to the largest owner on every fill,
-        # keeping unpacking consistent.
-        def fill(values):
-            marker = jnp.full(max_pairs, -1, jnp.int32)
-            marker = marker.at[offsets].max(values, mode="drop")
-            return jax.lax.cummax(marker)
-
-        K = 512
-        idx_n = jnp.arange(n, dtype=jnp.int32)
-        g_s = jnp.clip(fill(idx_n), 0, n - 1)
-        local = slot - fill(offsets)  # value == position: monotone as-is
-        x0_g = fill(idx_n * K + x0_s) - g_s * K
-        nx_g = fill(idx_n * K + nx_s) - g_s * K
-        y0_g = fill(idx_n * K + y0_s) - g_s * K
-
-        nx_f = nx_g.astype(prep.p_pix.dtype)
-        row = jnp.floor(
-            (local.astype(prep.p_pix.dtype) + 0.5) / nx_f
-        ).astype(jnp.int32)
-        tile_x = x0_g + local - row * nx_g
-        tile_y = y0_g + row
-        valid0 = slot < jnp.minimum(total, max_pairs)
-        key = jnp.where(
-            valid0, tile_y * grid_x + tile_x, n_tiles
-        ).astype(jnp.int32)
-        # translate to original index space (matches the Pallas branch)
-        gauss = order.astype(jnp.int32)[g_s]
-
-    # (2) blocked stable sort by tile key; payloads: gaussian id + the
-    # expansion slot id (the latter gives the slot -> aligned-slot map the
-    # backward segment-reduce needs)
-    b = max_pairs // sort_block
-    keys_b = key.reshape(b, sort_block)
-    gauss_b = gauss.reshape(b, sort_block)
-    slot_b = slot.reshape(b, sort_block)
-    keys_s, gauss_s, slot_s = jax.lax.sort(
-        (keys_b, gauss_b, slot_b), dimension=1, num_keys=1, is_stable=True
-    )
-
-    if use_pallas:
-        # (3 + 4a) Pallas counting-sort kernels (see module section above):
-        # windowed per-block histogram, then per-pair destinations from a
-        # persistent running histogram — no scatter-add, no take_along, no
-        # rank cummax.
-        n_rows = table_rows(n_tiles)
-        hist_blocks = _hist_call(keys_s, n_rows, interpret)
-        tile_count = jnp.sum(hist_blocks, axis=0)[:n_tiles]
-        padded = ((tile_count + chunk - 1) // chunk) * chunk
-        pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-        base_table = jnp.zeros(n_rows * 128, jnp.float32)
-        base_table = base_table.at[:n_tiles].set(pad_start.astype(jnp.float32))
-        base_table = base_table.at[n_tiles].set(float(m_pad))
-        dst = _dst_call(keys_s, base_table, interpret)
-    else:
-        # (3a) rank within (block, tile): distance from the run start
-        idx = jax.lax.broadcasted_iota(jnp.int32, (b, sort_block), 1)
-        is_start = jnp.concatenate(
-            [
-                jnp.ones((b, 1), bool),
-                keys_s[:, 1:] != keys_s[:, :-1],
-            ],
-            axis=1,
-        )
-        run_start = jax.lax.cummax(jnp.where(is_start, idx, -1), axis=1)
-        rank = idx - run_start
-
-        # (3b) per-(block, tile) histogram and prefixes
-        flat = keys_s + jax.lax.broadcasted_iota(
-            jnp.int32, (b, sort_block), 0
-        ) * (n_tiles + 1)
-        hist = jax.ops.segment_sum(
-            jnp.ones((b * sort_block,), jnp.int32),
-            flat.reshape(-1),
-            num_segments=b * (n_tiles + 1),
-        ).reshape(b, n_tiles + 1)
-        col_base = jnp.cumsum(hist, axis=0) - hist  # pairs of this tile above
-        tile_count = jnp.sum(hist, axis=0)[:n_tiles]
-
-        padded = ((tile_count + chunk - 1) // chunk) * chunk
-        pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-        pad_start_ext = jnp.concatenate(
-            [pad_start, jnp.asarray([m_pad], jnp.int32)]
-        )
-
-        # (4) destination + scatter: fold the (small) aligned starts into
-        # the per-(block, tile) bases — a single base gather per pair.
-        combined_base = col_base + pad_start_ext[None, :]
-        dst = jnp.take_along_axis(combined_base, keys_s, axis=1) + rank
-        dst = jnp.where(keys_s < n_tiles, dst, m_pad).reshape(-1)
-    # every kept pair has a distinct destination; dropped pairs all carry
-    # dst == m_pad, so spread them across unique out-of-bounds slots to let
-    # XLA take the unique-indices scatter path (no serialization)
-    dstu = dst.reshape(-1)
-    dstu = jnp.where(
-        dstu < m_pad,
-        dstu,
-        m_pad + jnp.arange(dstu.shape[0], dtype=jnp.int32),
-    )
-    gidx = (
-        jnp.full(m_pad, -1, jnp.int32)
-        .at[dstu]
-        .set(gauss_s.reshape(-1), mode="drop", unique_indices=True)
-    )
-    valid = gidx >= 0
-    # dst/slot_s (both in sorted-block order) give the backward pass its
-    # aligned->expansion routing: gather cotangents by ``dst`` (ascending
-    # within each block — pad_start is monotone in tile id, so the gather has
-    # near-sequential HBM locality) and scatter by ``slot_s`` into expansion
-    # order, where each splat's pairs are CONTIGUOUS
-    # ([offsets_i, offsets_i + ntiles_i)) and a Pallas segment-reduce replaces
-    # XLA's serialized scatter-add. (A single direct gather by the composed
-    # slot->dst map cost ~100 ms at 4M pairs — its indices jump across the
-    # whole aligned array, defeating HBM read locality.)
-
-    return (
-        gidx,
-        order,
-        valid,
-        pad_start // chunk,
-        (padded // chunk).astype(jnp.int32),
-        tile_count,
-        total,
-        jnp.maximum(total - max_pairs, 0),
-        dst,
-        slot_s.reshape(-1),
-        offsets,
-    )
 
 
 def build_tile_table(bins: TileBins, n_tiles: int, capacity: int) -> jnp.ndarray:

@@ -61,6 +61,11 @@ def preprocess(
     means2d_ndc_offset: Optional[jnp.ndarray] = None,  # (N, 2) zeros whose
     # gradient is the densification screen-space signal (NDC units, matching
     # the CUDA rasterizer's means2D grad; reference gs_lightning_module.py:316)
+    colors_precomp: Optional[jnp.ndarray] = None,  # (N, 3) RGB replacing the
+    # SH evaluation — the N1 rasterizer's colors_precomp input
+    # (gs_lightning_module.py:337-348 passes None; part of the API surface)
+    cov3d_precomp: Optional[jnp.ndarray] = None,  # (N, 6) upper-triangle 3D
+    # covariance replacing scales/quats — the N1 cov3D_precomp input
 ) -> Preprocessed:
     opacities = opacities.reshape(-1)
     p_view = tf.apply_extrinsic(means3d, camera.viewmatrix)
@@ -73,7 +78,10 @@ def preprocess(
 
     focal_x = (width * 0.5) / camera.tanfovx
     focal_y = (height * 0.5) / camera.tanfovy
-    cov6 = tf.build_cov3d(scales, quats, scale_modifier)
+    if cov3d_precomp is not None:
+        cov6 = cov3d_precomp
+    else:
+        cov6 = tf.build_cov3d(scales, quats, scale_modifier)
     cov2d = tf.project_cov3d_ewa(
         means3d, cov6, camera.viewmatrix, focal_x, focal_y,
         camera.tanfovx, camera.tanfovy,
@@ -94,7 +102,12 @@ def preprocess(
     log_ratio = jnp.log(jnp.maximum(opacity / ALPHA_THRESHOLD, 1.0))
     cull_r2 = 2.0 * log_ratio * lam_max * 1.001 + 0.25
 
-    rgb = sh_lib.sh_to_rgb(sh, means3d, camera.campos, sh_degree, max_sh_degree)
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    else:
+        rgb = sh_lib.sh_to_rgb(
+            sh, means3d, camera.campos, sh_degree, max_sh_degree
+        )
     p_pix = tf.ndc_to_pix(p_ndc, width, height)
     return Preprocessed(
         p_pix=p_pix,

@@ -8,10 +8,12 @@ per-pair rect rows (F_X0..F_Y1), so rendered values are tile-size-invariant.
 
 Key departures from the CUDA design, forced/enabled by the hardware:
 
-- Pair features live in a chunked HBM layout ``(n_chunks, 16, 128)`` —
-  each 8 KB block is contiguous and tile-aligned, so the double-buffered
-  HBM->VMEM DMA is a single aligned burst per chunk. In-kernel tiles put
-  *pixels on sublanes (256) and pairs on lanes (128)*.
+- Pair features live feature-major ``(16, M)`` in the globally TILE-SORTED
+  pair order (ops/binning.py build_sorted_bins): each tile's pairs are a
+  contiguous [tile_start, tile_start + count) range, read by the kernels as
+  128-aligned window chunks with a [phase, phase + count) lane mask
+  (Mosaic requires aligned lane DMA starts). In-kernel tiles put *pixels
+  on sublanes (256) and pairs on lanes (128)*.
 - The serial front-to-back transmittance product becomes an *exclusive
   cumulative sum of log1p(-alpha) via a strictly-triangular matmul on the
   MXU* (alpha <= 0.99 keeps the log well-conditioned), so a whole chunk
@@ -19,12 +21,13 @@ Key departures from the CUDA design, forced/enabled by the hardware:
 - The backward pass needs the classic suffix sums S_j = sum_{k>j} w_k c_k.
   Instead of CUDA's back-to-front re-walk with atomicAdd into global memory,
   we walk *front-to-back again* using suffix = total - prefix (totals are
-  forward outputs) and write gradients *per pair chunk* — each chunk belongs
-  to exactly one tile, so programs write disjoint blocks: atomics-free by
-  construction. The per-splat reduction is the _segreduce_kernel: a streamed
-  one-hot MXU matmul over each splat's contiguous expansion-slot run, fed by
-  a sort-inverted permutation gather (bf16 by default, f32 accumulation) —
-  see make_pair_pipeline.
+  forward outputs) and write gradients to a PRIVATE chunk-padded layout
+  (each tile's window rounded up to whole chunks at pad_cstart) — programs
+  write disjoint chunks: atomics-free by construction. The per-splat
+  reduction is the _segreduce_kernel: a streamed one-hot MXU matmul over
+  each splat's contiguous expansion-slot run, fed by a sort-inverted
+  permutation gather (bf16 by default, f32 accumulation) — see
+  make_pair_pipeline.
 - Per-pixel state across chunks (transmittance, prefix accumulators) lives in
   VMEM scratch; early termination of a saturated tile is a while-loop exit
   rather than a warp vote.
@@ -233,8 +236,8 @@ def _bwd_kernel(
     phase = phase_ref[t]
     count = count_ref[t]
 
-    G = ct_ref[0]  # (256, 4): dL/d[r g b invd]
-    fwd = fwd_out_ref[0]  # (256, NOUT)
+    G = ct_ref[0][:, 0:4]  # dL/d[r g b invd]; tfin/pad cotangent unused
+    fwd = fwd_out_ref[0]  # (pix, NOUT)
     # Gtotal'[p] = sum_f G*total'_f with total'_rgb = color_with_bg (already
     # contains the T_fin*bg term) and total'_d = total inverse depth; then
     # suffix-through-j = Gtotal' - prefix_incl (see module docstring).
@@ -399,7 +402,7 @@ def _bwd_kernel(
 
 
 def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
-              interpret, early_stop, pix, block_x, rect_mask):
+              grid_x, interpret, early_stop, pix, block_x, rect_mask):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(n_tiles,),
@@ -429,8 +432,8 @@ def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
 
 
 def _bwd_call(feats, bg, fwd_out, ct, astart, nchunk, phase, count,
-              pad_cstart, m_pad, ox, oy, n_tiles, interpret, pix, block_x,
-              rect_mask, early_stop, grad_dtype=None):
+              pad_cstart, m_pad, ox, oy, n_tiles, grid_x, interpret, pix,
+              block_x, rect_mask, early_stop, grad_dtype=None):
     grad_dtype = grad_dtype or feats.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -442,7 +445,7 @@ def _bwd_call(feats, bg, fwd_out, ct, astart, nchunk, phase, count,
                 (1, pix, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, pix, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, pix, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -585,6 +588,7 @@ def make_pair_pipeline(
     n: int,
     m_pad: int,
     n_tiles: int,
+    grid_x: int,
     interpret: bool = False,
     early_stop: bool = True,
     block: int = PALLAS_BLOCK,
@@ -627,7 +631,7 @@ def make_pair_pipeline(
         feats = _gather(gfeat_t, gauss_pad)
         return _fwd_call(
             feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
-            interpret, early_stop, pix, block, rect_mask,
+            grid_x, interpret, early_stop, pix, block, rect_mask,
         )
 
     def fwd(gfeat_t, gauss_pad, dst_sorted, slot_sorted, offsets, total,
@@ -635,7 +639,7 @@ def make_pair_pipeline(
         feats = _gather(gfeat_t, gauss_pad)
         out = _fwd_call(
             feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
-            interpret, early_stop, pix, block, rect_mask,
+            grid_x, interpret, early_stop, pix, block, rect_mask,
         )
         return out, (feats, bg, out, dst_sorted, slot_sorted, offsets, total,
                      inv_order, astart, nchunk, phase, count, pad_cstart,
@@ -644,10 +648,11 @@ def make_pair_pipeline(
     def bwd(res, ct):
         (feats, bg, out, dst_sorted, slot_sorted, offsets, total, inv_order,
          astart, nchunk, phase, count, pad_cstart, ox, oy) = res
-        ct4 = ct[:, :, 0:4]  # cotangent for [r g b invd]; tfin ct ignored
+        # full-NOUT cotangent canvas goes straight to the kernel (rows
+        # 0:4 used in-kernel; a host-side ct[:, :, 0:4] slice cost 3.2 ms)
         dcols_t = _bwd_call(
-            feats, bg, out, ct4, astart, nchunk, phase, count, pad_cstart,
-            m_pad, ox, oy, n_tiles, interpret, pix, block, rect_mask,
+            feats, bg, out, ct, astart, nchunk, phase, count, pad_cstart,
+            m_pad, ox, oy, n_tiles, grid_x, interpret, pix, block, rect_mask,
             early_stop, grad_dtype,
         )  # (NFEAT, m_pad) in grad dtype; zero outside every tile range
 
@@ -719,6 +724,7 @@ def rasterize_pallas(
     scale_modifier: float = 1.0, antialias: bool = False, alive=None,
     means2d_ndc_offset=None, tile_y_offset=0, grid_y_local=None,
     interpret: bool = False, early_stop: bool = True, prep=None,
+    colors_precomp=None, cov3d_precomp=None,
 ):
     """Drop-in replacement for rasterize_tiled with Pallas compositing.
     Same return contract: (RenderOutput, stats). ``prep`` accepts an
@@ -739,7 +745,7 @@ def rasterize_pallas(
         prep = preprocess(
             means3d, opacities, scales, quats, sh, camera, width, height,
             sh_degree, max_sh_degree, scale_modifier, antialias, alive,
-            means2d_ndc_offset,
+            means2d_ndc_offset, colors_precomp, cov3d_precomp,
         )
     grid_x, grid_y = binning.grid_shape(width, height, blk, blk)
     banded = grid_y_local is not None
@@ -796,7 +802,7 @@ def rasterize_pallas(
     bg_pad = jnp.zeros((1, 128), gfeat_t.dtype).at[0, 0:3].set(background)
 
     pipeline = make_pair_pipeline(
-        gfeat_t.shape[1], m_pad, n_tiles, interpret, early_stop, blk,
+        gfeat_t.shape[1], m_pad, n_tiles, grid_x, interpret, early_stop, blk,
         grad_bf16=config.pair_grad_bf16,
     )
     out = pipeline(

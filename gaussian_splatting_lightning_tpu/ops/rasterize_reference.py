@@ -130,13 +130,15 @@ def rasterize_reference(
     alive: Optional[jnp.ndarray] = None,
     means2d_ndc_offset: Optional[jnp.ndarray] = None,
     reference_quirks: bool = False,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
 ) -> RenderOutput:
     """Full forward rasterization. Signature mirrors the reference's
     ``rasterize_gaussian`` (rasterize.py:28-46) in jnp terms."""
     prep = preprocess(
         means3d, opacities, scales, quats, sh, camera, width, height,
         sh_degree, max_sh_degree, scale_modifier, antialias, alive,
-        means2d_ndc_offset,
+        means2d_ndc_offset, colors_precomp, cov3d_precomp,
     )
     grid_x = (width + BLOCK_X - 1) // BLOCK_X
     grid_y = (height + BLOCK_Y - 1) // BLOCK_Y

@@ -168,6 +168,8 @@ def rasterize_tiled(
     tile_y_offset=0,
     grid_y_local: Optional[int] = None,
     prep=None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
 ):
     """Returns (RenderOutput, stats dict). Same semantics as
     rasterize_reference with reference_quirks=False (CUDA visibility rules).
@@ -186,7 +188,7 @@ def rasterize_tiled(
         prep = preprocess(
             means3d, opacities, scales, quats, sh, camera, width, height,
             sh_degree, max_sh_degree, scale_modifier, antialias, alive,
-            means2d_ndc_offset,
+            means2d_ndc_offset, colors_precomp, cov3d_precomp,
         )
     grid_x, grid_y = binning.grid_shape(width, height)
     banded = grid_y_local is not None

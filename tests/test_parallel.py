@@ -353,7 +353,7 @@ def test_sharded_train_step_pallas_kernels_lockstep():
     """The PRODUCT sharded fwd+bwd train step with the Pallas rasterizer
     (interpret mode — the exact kernel path real chips run) in lockstep with
     the sharded XLA step: covers traced tile_y_offset through
-    build_aligned_bins, banded grids, and the custom-VJP pair pipeline under
+    build_sorted_bins, banded grids, and the custom-VJP pair pipeline under
     shard_map + psum (VERDICT r2 missing #2 / next #3 — this combination had
     never executed anywhere)."""
     import copy

@@ -250,64 +250,91 @@ def test_pallas_backward_odd_sizes_and_overflow(setup, n, budget):
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-5, err_msg=name)
 
 
-def test_hist_dst_kernels_match_xla_counting_sort():
-    """The windowed Pallas histogram/destination kernels (binning.py) must
-    reproduce the XLA counting-sort stages exactly: same per-tile counts and
-    the same aligned destination for every sorted pair."""
+def test_sorted_bins_positional_machinery():
+    """The global-sort binning's closed-form quantities (binning.py
+    build_sorted_bins) must match a naive numpy construction: searchsorted
+    tile ranges, aligned window geometry, and the monotone-delta fill that
+    gives every sorted pair its private padded destination."""
+    import dataclasses
+
     from gaussian_splatting_lightning_tpu.ops import binning
+    from gaussian_splatting_lightning_tpu.ops.common import Preprocessed
 
     rng = np.random.default_rng(7)
-    n_tiles = 37  # odd, < 128: exercises window clipping at the table edge
-    b, sb = 3, 512
-    max_pairs = b * sb
-    # mix: clustered keys (sorted blocks), sparse jumps, invalid tail
-    keys = rng.integers(0, n_tiles, size=(b, sb)).astype(np.int32)
-    keys[0, -50:] = n_tiles  # invalid padding
-    keys[1, :10] = 0
-    keys[2, :] = np.clip(keys[2, :] // 7, 0, n_tiles)  # heavy duplicates
-    keys = np.sort(keys, axis=1)
-    keys_j = jnp.asarray(keys)
-    m_pad = max_pairs + 128 * n_tiles
+    n, grid_x, grid_y = 400, 7, 5
+    n_tiles = grid_x * grid_y
+    max_pairs = 4096
+    prep = Preprocessed(
+        p_pix=jnp.asarray(
+            rng.uniform(0, 16 * grid_x, size=(n, 2)).astype(np.float32)
+        ),
+        depth=jnp.asarray(rng.uniform(1, 10, size=n).astype(np.float32)),
+        conic=jnp.zeros((n, 3)),
+        rgb=jnp.zeros((n, 3)),
+        opacity=jnp.ones(n),
+        radius=jnp.asarray(rng.uniform(1, 40, size=n).astype(np.float32)),
+        visible=jnp.asarray(rng.uniform(size=n) > 0.2),
+        radius_bin=jnp.asarray(rng.uniform(1, 40, size=n).astype(np.float32)),
+        cull_r2=jnp.full(n, 1e9, jnp.float32),  # cull off: pure geometry
+    )
+    (gauss_s, slot_s, dst, astart, phase, count, pad_cstart, nchunk,
+     total, dropped, offsets, order) = binning.build_sorted_bins(
+        prep, grid_x, grid_y, max_pairs, max_pairs + 2 * 128 * n_tiles,
+        interpret=True, block=16,
+    )
+    gauss_s, slot_s, dst, astart, phase, count, pad_cstart, nchunk = (
+        np.asarray(x)
+        for x in (gauss_s, slot_s, dst, astart, phase, count, pad_cstart,
+                  nchunk)
+    )
+    assert int(dropped) == 0
+    tile_start = astart + phase
 
-    # XLA reference stages (copied semantics from the fallback path)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (b, sb), 1)
-    is_start = jnp.concatenate(
-        [jnp.ones((b, 1), bool), keys_j[:, 1:] != keys_j[:, :-1]], axis=1
+    # naive reference: per-tile membership from the same rects, depth order
+    x0, y0, x1, y1 = (
+        np.asarray(v)
+        for v in __import__(
+            "gaussian_splatting_lightning_tpu.core.transforms",
+            fromlist=["tile_rect"],
+        ).tile_rect(prep.p_pix, prep.radius_bin, grid_x, grid_y, 16, 16)
     )
-    run_start = jax.lax.cummax(jnp.where(is_start, idx, -1), axis=1)
-    rank = idx - run_start
-    flat = keys_j + jax.lax.broadcasted_iota(jnp.int32, (b, sb), 0) * (
-        n_tiles + 1
-    )
-    hist = jax.ops.segment_sum(
-        jnp.ones((b * sb,), jnp.int32), flat.reshape(-1),
-        num_segments=b * (n_tiles + 1),
-    ).reshape(b, n_tiles + 1)
-    col_base = jnp.cumsum(hist, axis=0) - hist
-    tile_count = jnp.sum(hist, axis=0)[:n_tiles]
-    padded = ((tile_count + 127) // 128) * 128
-    pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    pad_start_ext = jnp.concatenate([pad_start, jnp.asarray([m_pad], jnp.int32)])
-    combined = col_base + pad_start_ext[None, :]
-    dst_ref = jnp.take_along_axis(combined, keys_j, axis=1) + rank
-    dst_ref = jnp.where(keys_j < n_tiles, dst_ref, m_pad).reshape(-1)
+    vis = np.asarray(prep.visible)
+    depth = np.asarray(prep.depth)
+    pairs_ref = {t: [] for t in range(n_tiles)}
+    for g in np.argsort(np.where(vis & ((x1 - x0) * (y1 - y0) > 0),
+                                 depth, np.inf), kind="stable"):
+        if not vis[g]:
+            continue
+        for ty in range(y0[g], y1[g]):
+            for tx in range(x0[g], x1[g]):
+                pairs_ref[ty * grid_x + tx].append(g)
 
-    # Pallas kernels (interpret mode on CPU)
-    n_rows = binning.table_rows(n_tiles)
-    hist_p = binning._hist_call(keys_j, n_rows, interpret=True)
+    # (a) per-tile ranges + depth-ordered members match
+    for t in range(n_tiles):
+        assert count[t] == len(pairs_ref[t]), t
+        got = gauss_s[tile_start[t]: tile_start[t] + count[t]]
+        np.testing.assert_array_equal(got, np.asarray(pairs_ref[t], np.int32))
+
+    # (b) aligned window geometry
+    np.testing.assert_array_equal(astart % 128, 0)
+    assert (phase == tile_start - astart).all()
+    np.testing.assert_array_equal(nchunk, -(-(phase + count) // 128))
+    pad_start = pad_cstart * 128
     np.testing.assert_array_equal(
-        np.asarray(jnp.sum(hist_p, axis=0)[:n_tiles]), np.asarray(tile_count)
+        pad_start, np.cumsum(np.concatenate([[0], (nchunk * 128)[:-1]]))
     )
-    base_table = jnp.zeros(n_rows * 128, jnp.float32)
-    base_table = base_table.at[:n_tiles].set(pad_start.astype(jnp.float32))
-    base_table = base_table.at[n_tiles].set(float(m_pad))
-    dst_p = binning._dst_call(keys_j, base_table, interpret=True)
-    # valid pairs must match exactly; invalid (dropped) only need >= m_pad
-    valid = keys.reshape(-1) < n_tiles
-    np.testing.assert_array_equal(
-        np.asarray(dst_p)[valid], np.asarray(dst_ref)[valid]
-    )
-    assert (np.asarray(dst_p)[~valid] >= m_pad).all()
+
+    # (c) the delta fill: dst == position + (pad_start - astart)[tile],
+    # consistent with where the bwd kernel writes window lane
+    # (pos - astart) of tile t at pad_start[t] + (pos - astart)
+    for t in range(n_tiles):
+        pos = np.arange(tile_start[t], tile_start[t] + count[t])
+        np.testing.assert_array_equal(
+            dst[pos], pos + pad_start[t] - astart[t]
+        )
+
+    # (d) slot_s is a permutation (the bwd consumer sort-inverts it)
+    assert np.array_equal(np.sort(slot_s), np.arange(max_pairs))
 
 
 def test_expand_kernel_matches_xla_fills():

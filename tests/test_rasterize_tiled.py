@@ -7,7 +7,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from gaussian_splatting_lightning_tpu.core.camera import camera_from_matrices
+from gaussian_splatting_lightning_tpu.core.camera import (
+    camera_from_matrices,
+    make_camera,
+)
 from gaussian_splatting_lightning_tpu.ops import (
     TilingConfig,
     rasterize_reference,
@@ -152,4 +155,68 @@ def test_jit_and_alive_mask(setup):
     )
     np.testing.assert_allclose(
         np.asarray(half.image), np.asarray(removed.image), rtol=1e-4, atol=1e-5
+    )
+
+def test_precomp_inputs_match_derived():
+    """colors_precomp / cov3D_precomp parity (reference N1 API surface,
+    gs_lightning_module.py:337-348): feeding the precomputed RGB (from SH)
+    and 3D covariance (from scales/quats) must reproduce the derived-path
+    render exactly."""
+    import numpy as np
+
+    from gaussian_splatting_lightning_tpu.core import sh as sh_lib
+    from gaussian_splatting_lightning_tpu.core import transforms as tf
+    from gaussian_splatting_lightning_tpu.ops.rasterize_reference import (
+        rasterize_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 300
+    means = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 1.5)
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, size=(n,)).astype(np.float32))
+    scales = jnp.asarray(
+        rng.uniform(0.05, 0.2, size=(n, 3)).astype(np.float32)
+    )
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats = jnp.asarray(quats / np.linalg.norm(quats, axis=1, keepdims=True))
+    sh = jnp.asarray(rng.normal(size=(n, 4, 3)).astype(np.float32) * 0.3)
+    w, h = 64, 48
+    cam = make_camera(
+        np.concatenate([np.eye(3), np.asarray([[0.0], [0.0], [4.0]])], 1),
+        60.0, 60.0, w, h,
+    )
+    bg = jnp.zeros(3)
+
+    base = rasterize_reference(
+        means, opac, scales, quats, sh, cam, w, h, bg, 1
+    )
+    rgb = sh_lib.sh_to_rgb(sh, means, cam.campos, jnp.asarray(1), 1)
+    cov6 = tf.build_cov3d(scales, quats, 1.0)
+    # precomp inputs REPLACE the derived quantities: pass garbage sh/scales/
+    # quats to prove they are unused
+    junk_sh = sh * 100.0 + 3.0
+    junk_scales = scales * 7.0
+    via_precomp = rasterize_reference(
+        means, opac, junk_scales, quats, junk_sh, cam, w, h, bg, 1,
+        colors_precomp=rgb, cov3d_precomp=cov6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(via_precomp.image), np.asarray(base.image), atol=1e-6
+    )
+
+    from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import (
+        rasterize_tiled,
+    )
+
+    out_t, _ = rasterize_tiled(
+        means, opac, junk_scales, quats, junk_sh, cam, w, h, bg, 1,
+        config=TilingConfig(max_pairs=1 << 14, tile_capacity=256, chunk=32),
+        colors_precomp=rgb, cov3d_precomp=cov6,
+    )
+    out_b, _ = rasterize_tiled(
+        means, opac, scales, quats, sh, cam, w, h, bg, 1,
+        config=TilingConfig(max_pairs=1 << 14, tile_capacity=256, chunk=32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_t.image), np.asarray(out_b.image), atol=1e-6
     )
