@@ -135,6 +135,14 @@ def main():
             f"mesh: view={mesh.shape['view']} x tile={mesh.shape['tile']} "
             f"({mesh.devices.size} devices)"
         )
+        if mesh.shape["tile"] > 16:
+            print(
+                "WARNING: tile rings beyond 16 devices scale poorly (bands "
+                "shrink below the per-splat O(capacity) stages — BENCH.md); "
+                "the designed operating point is a HYBRID mesh: keep "
+                "mesh_tile at 8-16 and grow mesh_view (e.g. "
+                "--set mesh_view=4 --set mesh_tile=8)"
+            )
 
     trainer = Trainer(
         cfg.train, scene, norm["radius"], train_views, valid_views,
