@@ -643,6 +643,18 @@ class Trainer:
             1, min(self.cfg.overflow_check_interval, self.cfg.log_interval)
         )
         for _ in range(num_iters):
+            if (
+                self.valid_views
+                and self.step > 0
+                and self.step % self.cfg.valid_interval == 0
+            ):
+                # validate BEFORE this step's densify hook: at steps where
+                # the opacity reset coincides with the validation cadence
+                # (every 3k vs 1k), measuring after the reset reads ~10 dB
+                # by construction (round-2/4 rehearsal logs) — the
+                # pre-reset state is the meaningful quality signal. Pure
+                # logging order; the training trajectory is untouched.
+                self.validate()
             self.maybe_densify()
             view_idx, cam, img, bg = self._step_inputs()
             extra = {}
@@ -688,12 +700,6 @@ class Trainer:
                     for k, v in logs.items():
                         if k != "step":
                             self.tb.add_scalar(f"train/{k}", v, self.step)
-            if (
-                self.valid_views
-                and self.step > 0
-                and self.step % self.cfg.valid_interval == 0
-            ):
-                self.validate()
             self.step += 1
             # checkpoint AFTER the increment: saved "step" uniformly means
             # "next step to run", so restore replays the exact remaining
