@@ -281,7 +281,12 @@ def main():
         "headline-1080p", w, h, n, step_s, compile_s, pairs, budget, dropped,
         platform,
     )
+    # provisional marker: this measurement is re-emitted below enriched with
+    # the parity block; consumers parsing every line (not just the last)
+    # must skip provisional=true to avoid double-counting (ADVICE r4 #5)
+    headline["extra"]["provisional"] = True
     _emit(headline)
+    headline["extra"].pop("provisional")
     _note(f"headline: {step_s * 1e3:.1f} ms/step, compile {compile_s:.0f}s")
 
     # rung 3: parity gate, only inside the wall-clock budget; the final

@@ -390,6 +390,9 @@ def build_sorted_bins(
         grid_y_local = grid_y
     n_tiles = grid_x * grid_y_local
 
+    # m_pad (the padded bwd-layout size) feeds only this guard: the expansion
+    # and segreduce kernels do slot arithmetic in f32 (exact below 2^24), and
+    # dst values reach m_pad — keep the whole index range f32-exact.
     key, gauss, order, offsets, total = _expand_keys(
         prep, grid_x, grid_y, max_pairs, tile_y_offset, grid_y_local,
         n_tiles, pallas_expand and m_pad + max_pairs < (1 << 24), interpret,

@@ -402,7 +402,7 @@ def _bwd_kernel(
 
 
 def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
-              grid_x, interpret, early_stop, pix, block_x, rect_mask):
+              interpret, early_stop, pix, block_x, rect_mask):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(n_tiles,),
@@ -432,7 +432,7 @@ def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
 
 
 def _bwd_call(feats, bg, fwd_out, ct, astart, nchunk, phase, count,
-              pad_cstart, m_pad, ox, oy, n_tiles, grid_x, interpret, pix,
+              pad_cstart, m_pad, ox, oy, n_tiles, interpret, pix,
               block_x, rect_mask, early_stop, grad_dtype=None):
     grad_dtype = grad_dtype or feats.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -588,7 +588,6 @@ def make_pair_pipeline(
     n: int,
     m_pad: int,
     n_tiles: int,
-    grid_x: int,
     interpret: bool = False,
     early_stop: bool = True,
     block: int = PALLAS_BLOCK,
@@ -631,7 +630,7 @@ def make_pair_pipeline(
         feats = _gather(gfeat_t, gauss_pad)
         return _fwd_call(
             feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
-            grid_x, interpret, early_stop, pix, block, rect_mask,
+            interpret, early_stop, pix, block, rect_mask,
         )
 
     def fwd(gfeat_t, gauss_pad, dst_sorted, slot_sorted, offsets, total,
@@ -639,7 +638,7 @@ def make_pair_pipeline(
         feats = _gather(gfeat_t, gauss_pad)
         out = _fwd_call(
             feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
-            grid_x, interpret, early_stop, pix, block, rect_mask,
+            interpret, early_stop, pix, block, rect_mask,
         )
         return out, (feats, bg, out, dst_sorted, slot_sorted, offsets, total,
                      inv_order, astart, nchunk, phase, count, pad_cstart,
@@ -652,7 +651,7 @@ def make_pair_pipeline(
         # 0:4 used in-kernel; a host-side ct[:, :, 0:4] slice cost 3.2 ms)
         dcols_t = _bwd_call(
             feats, bg, out, ct, astart, nchunk, phase, count, pad_cstart,
-            m_pad, ox, oy, n_tiles, grid_x, interpret, pix, block, rect_mask,
+            m_pad, ox, oy, n_tiles, interpret, pix, block, rect_mask,
             early_stop, grad_dtype,
         )  # (NFEAT, m_pad) in grad dtype; zero outside every tile range
 
@@ -664,8 +663,11 @@ def make_pair_pipeline(
             (slot_sorted, dst_sorted), num_keys=1
         )
         # expansion-slot order: each DEPTH-RANKED splat's pairs contiguous.
-        # Dropped/invalid slots carry dst == m_pad -> clipped to a zero (or
-        # irrelevant) column; their counts exclude them from every segment.
+        # Invalid/culled slots carry dst = position + trailing cummax delta,
+        # which lands in the padded layout's zero-filled tail / masked-lane
+        # regions (never written by any tile's bwd program, zero via the
+        # aliased init) — and their counts exclude them from every segment,
+        # so the gathered garbage-free zeros never reach a sum anyway.
         dslot = jnp.take(
             dcols_t, jnp.clip(dst_of_slot, 0, m_pad - 1), axis=1
         )
@@ -802,7 +804,7 @@ def rasterize_pallas(
     bg_pad = jnp.zeros((1, 128), gfeat_t.dtype).at[0, 0:3].set(background)
 
     pipeline = make_pair_pipeline(
-        gfeat_t.shape[1], m_pad, n_tiles, grid_x, interpret, early_stop, blk,
+        gfeat_t.shape[1], m_pad, n_tiles, interpret, early_stop, blk,
         grad_bf16=config.pair_grad_bf16,
     )
     out = pipeline(

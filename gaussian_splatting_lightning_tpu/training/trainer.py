@@ -862,13 +862,18 @@ class Trainer:
         if self.exposure is not None:
             # pre-r3 checkpoints were saved without an "exposure" entry;
             # orbax raises on a tree-structure mismatch before any later
-            # guard could apply, so probe with a fallback (ADVICE r3 #2)
-            try:
+            # guard could apply, so probe the checkpoint metadata instead of
+            # catching the failure (ADVICE r4 #3: a bare except here masked
+            # genuinely corrupt checkpoints behind a misleading second error)
+            has_exposure = "exposure" in ocp.PyTreeCheckpointer().metadata(
+                path
+            ).item_metadata.tree
+            if has_exposure:
                 ckpt = ocp.PyTreeCheckpointer().restore(
                     path, item=dict(template, exposure=self.exposure)
                 )
                 self.exposure = ckpt["exposure"]
-            except Exception:
+            else:
                 ckpt = ocp.PyTreeCheckpointer().restore(path, item=template)
         else:
             ckpt = ocp.PyTreeCheckpointer().restore(path, item=template)

@@ -329,10 +329,10 @@ def main():
     from tests.ref_oracle import load_reference_module, load_reference_rasterize
 
     ref = load_reference_rasterize()
-    ref_math = load_reference_module("utils.math")
-    ref_sched = load_reference_module("scheduler")
     if ref is None:
         raise SystemExit("/root/reference not present — nothing to compare")
+    ref_math = load_reference_module("utils.math")
+    ref_sched = load_reference_module("scheduler")
 
     w, h = args.width, args.height
     n_all = args.views + args.eval_views
