@@ -339,14 +339,13 @@ def build_sorted_bins(
     grid_x: int,
     grid_y: int,
     max_pairs: int,
-    m_pad: int,
     tile_y_offset=0,
     grid_y_local: int | None = None,
     pallas_expand: bool = True,
     interpret: bool = False,
     block: int = BLOCK_X,
 ):
-    """Binning for the Pallas compositor, round-4 design: ONE global stable
+    """Binning for the Pallas compositor, round-5 design: ONE global stable
     sort by tile key, then everything else is closed-form.
 
     The round 1-3 pipeline (blocked sort -> Pallas histogram + running-
@@ -357,32 +356,29 @@ def build_sorted_bins(
 
       - tile_start = searchsorted(keys_sorted, arange(T)) — T queries, not
         M (XLA's searchsorted is slow per-query; over tiles it is ~1.6 ms);
-      - within-tile rank  = position - tile_start[key];
-      - padded (bwd-write) destination = position + delta[key], where
-        delta = pad_start - tile_start is NON-DECREASING in tile id (it is a
-        cumsum of per-tile pad amounts), so delta-per-pair needs no gather:
-        scatter delta[t] at tile_start[t] and forward-fill with cummax
-        (owner_of_slot's trick — 0.8 ms at 2.2M pairs).
+      - within-tile rank  = position - tile_start[key].
 
-    The compositor then reads each tile's pairs at UNALIGNED positions
-    [tile_start[t] + 128*ci] (overlapping reads across tile boundaries are
-    harmless; a per-chunk lane mask from tile_count cuts the tail), and only
-    the BACKWARD pair-gradient write uses the private chunk-padded layout
-    (disjoint chunks per tile, atomics-free) via ``pad_cstart``.
+    The compositors read AND write each tile's pairs at its aligned window
+    [floor(tile_start/128)*128, ...) with a [phase, phase + count) lane mask
+    (Mosaic requires 128-aligned lane DMA starts; boundary chunks shared by
+    adjacent tiles are merged in the bwd kernel through a VMEM carry — the
+    TPU grid is a sequential loop, so no atomicity is needed). The round-4
+    private chunk-padded bwd layout (dst fill + pad_cstart + a slot-
+    inversion sort + an M-sized cotangent gather) is gone: the bwd routes
+    per-pair cotangents with one unstable sort keyed by ORIGINAL splat id
+    (see rasterize_pallas.make_pair_pipeline).
 
-    Measured vs the aligned pipeline on v5e at 1080p/1M splats/2.2M pairs:
-    global sort +5.8 ms, fill +0.8, searchsorted +1.6, in exchange for
-    dropping the gidx scatter (-10.2), destination kernel (-11.4), histogram
-    kernel (-6.7), and the aligned-layout gather inflation.
-
-    Returns (gauss_s, slot_s, dst_sorted, tile_start, tile_count,
-    pad_cstart, nchunk, num_pairs, num_dropped, offsets, order):
+    Returns (gauss_s, slot_s, astart, phase, tile_count, nchunk, num_pairs,
+    num_dropped, ntiles, offsets, order):
       gauss_s (M,) original splat id per sorted pair;
       slot_s (M,) expansion slot per sorted pair (a permutation of [0, M));
-      dst_sorted (M,) padded destination (== position + delta fill);
-      tile_start/tile_count (T,) pair-space ranges;
-      pad_cstart/nchunk (T,) chunk-space ranges of the padded bwd layout;
-      offsets (N,) depth-grouped expansion slot starts (segreduce input).
+      astart/phase/tile_count/nchunk (T,) aligned window geometry
+      (tile_start = astart + phase);
+      ntiles (N,) per-splat rect pair count in ORIGINAL splat order — the
+      bwd sort's segment lengths (culled pairs included: they ride the
+      stream with zero cotangents);
+      offsets (N,) depth-grouped expansion slot starts and order (N,) the
+      depth permutation — consumed only by the bwd's overflow branch.
     """
     chunk = 128  # kernel chunk alignment (rasterize_pallas.CHUNK)
     n = prep.depth.shape[0]
@@ -390,12 +386,11 @@ def build_sorted_bins(
         grid_y_local = grid_y
     n_tiles = grid_x * grid_y_local
 
-    # m_pad (the padded bwd-layout size) feeds only this guard: the expansion
-    # and segreduce kernels do slot arithmetic in f32 (exact below 2^24), and
-    # dst values reach m_pad — keep the whole index range f32-exact.
-    key, gauss, order, offsets, total = _expand_keys(
+    # the guard keeps slot arithmetic f32-exact in the expansion and
+    # segreduce kernels (exact below 2^24)
+    key, gauss, order, offsets, total, ntiles = _expand_keys(
         prep, grid_x, grid_y, max_pairs, tile_y_offset, grid_y_local,
-        n_tiles, pallas_expand and m_pad + max_pairs < (1 << 24), interpret,
+        n_tiles, pallas_expand and 2 * max_pairs < (1 << 24), interpret,
         block,
     )
 
@@ -413,39 +408,22 @@ def build_sorted_bins(
     tile_count = bounds[1:] - bounds[:-1]
 
     # Mosaic requires lane-dimension DMA slices to start 128-aligned, so
-    # each tile's read window rounds DOWN to the chunk boundary and the
-    # kernels mask lanes to [phase, phase + count). The padded (backward-
-    # write) layout reserves whole window chunks per tile.
+    # each tile's read/write window rounds DOWN to the chunk boundary and
+    # the kernels mask lanes to [phase, phase + count).
     astart = (tile_start // chunk) * chunk
     phase = tile_start - astart
     nchunk = (phase + tile_count + chunk - 1) // chunk
-    padded = nchunk * chunk
-    pad_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    pad_cstart = pad_start // chunk
-
-    # delta fill: pair at sorted position p of tile t lands at padded
-    # destination p + delta[t] with delta = pad_start - astart, which is
-    # NON-DECREASING in t (padded_t >= the aligned window span — each step
-    # is 128*ceil((phase+count)/128) vs 128*floor((phase+count+...)/128)),
-    # so the per-pair lookup is a T-point scatter + forward cummax, not a
-    # gather
-    delta_tbl = pad_start - astart
-    marker = jnp.full(max_pairs, -1, jnp.int32)
-    marker = marker.at[tile_start].max(delta_tbl, mode="drop")
-    delta = jax.lax.cummax(marker)
-    dst_sorted = jnp.arange(max_pairs, dtype=jnp.int32) + delta
 
     return (
         gauss_s,
         slot_s,
-        dst_sorted,
         astart,
         phase,
         tile_count,
-        pad_cstart,
         nchunk,
         total,
         jnp.maximum(total - max_pairs, 0),
+        ntiles,
         offsets,
         order,
     )
@@ -464,8 +442,9 @@ def _expand_keys(
     block: int,
 ):
     """Shared pair expansion: (key, gauss) per expansion slot, plus the depth
-    permutation and per-splat slot offsets. Pallas kernel by default; the
-    XLA scatter-fill path is the fallback for giant budgets and a CPU-testable
+    permutation, per-splat slot offsets, and the per-splat rect pair counts
+    ``ntiles`` in original splat order. Pallas kernel by default; the XLA
+    scatter-fill path is the fallback for giant budgets and a CPU-testable
     oracle."""
     n = prep.depth.shape[0]
     x0, y0g, x1, y1g = tf.tile_rect(
@@ -552,7 +531,7 @@ def _expand_keys(
         ).astype(jnp.int32)
         # translate to original index space (matches the Pallas branch)
         gauss = order.astype(jnp.int32)[g_s]
-    return key, gauss, order, offsets, total
+    return key, gauss, order, offsets, total, ntiles
 
 
 def build_tile_table(bins: TileBins, n_tiles: int, capacity: int) -> jnp.ndarray:

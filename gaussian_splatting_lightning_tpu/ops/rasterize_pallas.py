@@ -21,13 +21,13 @@ Key departures from the CUDA design, forced/enabled by the hardware:
 - The backward pass needs the classic suffix sums S_j = sum_{k>j} w_k c_k.
   Instead of CUDA's back-to-front re-walk with atomicAdd into global memory,
   we walk *front-to-back again* using suffix = total - prefix (totals are
-  forward outputs) and write gradients to a PRIVATE chunk-padded layout
-  (each tile's window rounded up to whole chunks at pad_cstart) — programs
-  write disjoint chunks: atomics-free by construction. The per-splat
-  reduction is the _segreduce_kernel: a streamed one-hot MXU matmul over
-  each splat's contiguous expansion-slot run, fed by a sort-inverted
-  permutation gather (bf16 by default, f32 accumulation) — see
-  make_pair_pipeline.
+  forward outputs) and write gradients UNPADDED into the sorted-pair
+  stream; the one chunk a tile can share with its neighbour is composed
+  through a VMEM carry across the (sequential) grid — atomics-free by
+  construction. The per-pair cotangents are then grouped by ORIGINAL splat
+  id with one unstable payload sort and summed by the _segreduce_kernel: a
+  streamed one-hot MXU matmul over each splat's contiguous group (bf16
+  rows by default, f32 accumulation) — see make_pair_pipeline.
 - Per-pixel state across chunks (transmittance, prefix accumulators) lives in
   VMEM scratch; early termination of a saturated tile is a while-loop exit
   rather than a warp vote.
@@ -56,7 +56,9 @@ CHUNK = 128  # pairs per VMEM chunk (lane dimension)
 SLAB = 256  # pixel rows per bwd-kernel step (VMEM working-set bound)
 PALLAS_BLOCK = 32  # default tile edge (px) for this path; see TilingConfig
 NFEAT = 16  # px py ca cb cc op r g b invz (6 pad); == grad rows
-NOUT = 8  # r g b invd tfin (3 pad)
+NOUT = 4  # r g b invd (tfin was row 4 through round 4 — never consumed, and
+# dropping it halves the output canvas and makes the upstream cotangent
+# arrive exactly (T, pix, 4): no 67 MB zero-pad before the bwd kernel)
 
 F_PX, F_PY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_IZ = range(10)
 # At tile sizes other than the reference's 16 px, rows 10-13 carry the
@@ -148,7 +150,7 @@ def _fwd_kernel(
     count = count_ref[t]
 
     tcar[...] = jnp.ones((pix, 1), dtype)
-    acc[...] = jnp.zeros((pix, 8), dtype)
+    acc[...] = jnp.zeros((pix, 4), dtype)
 
     def get_dma(slot, ci):
         return pltpu.make_async_copy(
@@ -207,23 +209,35 @@ def _fwd_kernel(
             get_dma(jax.lax.rem(final_ci, 2), final_ci).wait()
 
     color = acc[:, 0:3] + tcar[...] * bg_ref[0:1, 0:3]  # bg composited in
-    out_ref[0] = jnp.concatenate(
-        [color, acc[:, 3:4], tcar[...], jnp.zeros((pix, 3), dtype)], axis=1
-    )  # (pix, NOUT)
+    out_ref[0] = jnp.concatenate([color, acc[:, 3:4]], axis=1)  # (pix, NOUT)
 
 
 def _bwd_kernel(
     # scalar prefetch
-    astart_ref, nchunk_ref, phase_ref, count_ref, pad_cstart_ref, ox_ref,
-    oy_ref,
+    astart_ref, nchunk_ref, phase_ref, count_ref, ox_ref, oy_ref,
     # inputs
     feats_hbm, bg_ref, fwd_out_ref, ct_ref, dfeats_init_hbm,
     # outputs (aliased with dfeats_init: chunks outside every range stay 0)
     dfeats_hbm,
     # scratch
-    buf, sem, dbuf, dsem, tcar, gapre,
+    buf, sem, dbuf, dsem, carry, csem, cstate, tcar, gapre,
     *, pix: int, block_x: int, rect_mask: bool, early_stop: bool,
 ):
+    """Per-pair gradients written UNPADDED, straight into the sorted-pair
+    stream at each tile's aligned window (round-5 design).
+
+    Adjacent tiles share at most their boundary chunk (window origins round
+    down to 128). The TPU grid is a sequential loop, so the shared chunk is
+    composed through a VMEM ``carry``: every program STASHES its last
+    chunk's gradients instead of writing them; the next non-empty program
+    either MERGES the carry into its first chunk (same global chunk) or
+    FLUSHES it to HBM (disjoint). Interior chunks are exclusively owned and
+    stream out double-buffered as before. Chunks never written stay zero via
+    the aliased zero init (early-stopped tails, gaps from empty tiles).
+
+    ``cstate`` (SMEM): [0] carry's global chunk index or -1, [1] flush
+    in flight?, [2] flush target chunk index.
+    """
     t = pl.program_id(0)
     dtype = ct_ref.dtype
     px, py = _pixel_coords(
@@ -231,12 +245,27 @@ def _bwd_kernel(
     )
     U = _strict_upper(dtype)
     tstart = pl.multiple_of(astart_ref[t], CHUNK)  # aligned window origin
-    pad_cstart = pad_cstart_ref[t]  # CHUNK offset of the private padded writes
+    gci0 = tstart // CHUNK  # global chunk index of this tile's first chunk
     n_chunks = nchunk_ref[t]
     phase = phase_ref[t]
     count = count_ref[t]
 
-    G = ct_ref[0][:, 0:4]  # dL/d[r g b invd]; tfin/pad cotangent unused
+    @pl.when(t == 0)
+    def _():
+        cstate[0] = -1
+        cstate[1] = 0
+        cstate[2] = 0
+        carry[...] = jnp.zeros_like(carry)  # the unconditional read below
+        # must never see garbage (NaN would survive even a 0-multiply)
+
+    def carry_flush_dma(cidx):
+        return pltpu.make_async_copy(
+            carry,
+            dfeats_hbm.at[:, pl.ds(cidx * CHUNK, CHUNK)],
+            csem,
+        )
+
+    G = ct_ref[0]  # dL/d[r g b invd]
     fwd = fwd_out_ref[0]  # (pix, NOUT)
     # Gtotal'[p] = sum_f G*total'_f with total'_rgb = color_with_bg (already
     # contains the T_fin*bg term) and total'_d = total inverse depth; then
@@ -339,33 +368,69 @@ def _bwd_kernel(
                 jnp.sum(lw, axis=1, keepdims=True)
             )
 
-        # write this chunk's pair grads to its (exclusively owned) HBM block
-        # (cast to the routing dtype — bf16 by default: the downstream
-        # permute-gather + segment-reduce are HBM/index bound and the
-        # per-pair cotangents tolerate 8-bit mantissas; accumulation back
-        # into per-splat sums happens in f32 on the MXU).
-        # Double-buffered: only wait for the DMA that used this slot two
-        # chunks ago (a blocking wait per chunk serialized the whole kernel
-        # on the output write — ~2x bwd kernel time).
-        oslot = jax.lax.rem(ci, 2)
+        # write this chunk's pair grads (cast to the routing dtype — bf16 by
+        # default: the downstream sort + segment-reduce are HBM/issue bound
+        # and the per-pair cotangents tolerate 8-bit mantissas; accumulation
+        # back into per-splat sums happens in f32 on the MXU).
+        gci = gci0 + ci
+        # first chunk: consume the carry — merge it if it IS my first chunk,
+        # flush it to its (now settled) HBM chunk otherwise
+        use_carry = (ci == 0) & (cstate[0] == gci)
+        grad = grad + jnp.where(
+            use_carry, carry[...].astype(dtype), 0.0
+        )
+
+        @pl.when((ci == 0) & (cstate[0] >= 0) & (cstate[0] != gci))
+        def _():
+            cstate[1] = 1
+            cstate[2] = cstate[0]
+            carry_flush_dma(cstate[0]).start()
+
+        @pl.when(ci == 0)
+        def _():
+            cstate[0] = -1
 
         def get_out_dma(slot, cj):
             return pltpu.make_async_copy(
                 dbuf.at[slot],
-                dfeats_hbm.at[:, pl.ds((pad_cstart + cj) * CHUNK, CHUNK)],
+                dfeats_hbm.at[:, pl.ds((gci0 + cj) * CHUNK, CHUNK)],
                 dsem.at[slot],
             )
 
-        @pl.when(ci >= 2)
-        def _():
-            get_out_dma(oslot, ci - 2).wait()
+        is_last = ci == n_chunks - 1
 
-        dbuf[oslot] = grad.astype(dbuf.dtype)
-        get_out_dma(oslot, ci).start()
+        # interior chunks (exclusively owned): double-buffered stream-out —
+        # only wait for the DMA that used this slot two chunks ago (a
+        # blocking wait per chunk serialized the kernel on the write)
+        @pl.when(jnp.logical_not(is_last))
+        def _():
+            oslot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci >= 2)
+            def _():
+                get_out_dma(oslot, ci - 2).wait()
+
+            dbuf[oslot] = grad.astype(dbuf.dtype)
+            get_out_dma(oslot, ci).start()
+
+        # last chunk: stash in the carry for the next program (the chunk may
+        # be shared with its window origin); wait any in-flight flush first
+        # so the buffer is free to overwrite
+        @pl.when(is_last)
+        def _():
+            @pl.when(cstate[1] == 1)
+            def _():
+                carry_flush_dma(cstate[2]).wait()
+                cstate[1] = 0
+
+            carry[...] = grad.astype(carry.dtype)
+            cstate[0] = gci
+
         # Early stop mirrors the forward: once every pixel's transmittance
         # is below the stop threshold, all remaining pairs had w = 0 in the
-        # forward and their gradients are exactly zero — and their dfeats
-        # chunks stay zero via the aliased zero init.
+        # forward and their gradients are exactly zero — their chunks stay
+        # zero via the aliased zero init (and the carry stays unset, so a
+        # neighbour sharing the boundary chunk just writes its own values).
         return ci + 1, jnp.max(tcar[...])
 
     def cond(state):
@@ -384,21 +449,39 @@ def _bwd_kernel(
         def _():
             get_dma(jax.lax.rem(final_ci, 2), final_ci).wait()
 
-    # drain in-flight output DMAs before the next grid step reuses the slots
+    # drain in-flight output DMAs before the next grid step reuses the
+    # slots; chunks written = [0, nw) (the last chunk was stashed, not
+    # written, and an early stop wrote only up to final_ci)
     def drain_dma(cj):
         return pltpu.make_async_copy(
             dbuf.at[jax.lax.rem(cj, 2)],
-            dfeats_hbm.at[:, pl.ds((pad_cstart + cj) * CHUNK, CHUNK)],
+            dfeats_hbm.at[:, pl.ds((gci0 + cj) * CHUNK, CHUNK)],
             dsem.at[jax.lax.rem(cj, 2)],
         )
 
-    @pl.when(final_ci >= 1)
-    def _():
-        drain_dma(final_ci - 1).wait()
+    nw = jnp.minimum(final_ci, n_chunks - 1)
 
-    @pl.when(final_ci >= 2)
+    @pl.when(nw >= 1)
     def _():
-        drain_dma(final_ci - 2).wait()
+        drain_dma(nw - 1).wait()
+
+    @pl.when(nw >= 2)
+    def _():
+        drain_dma(nw - 2).wait()
+
+    # final program: settle the carry (and any flush left in flight)
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        @pl.when(cstate[1] == 1)
+        def _():
+            carry_flush_dma(cstate[2]).wait()
+            cstate[1] = 0
+
+        @pl.when(cstate[0] >= 0)
+        def _():
+            f = carry_flush_dma(cstate[0])
+            f.start()
+            f.wait()
 
 
 def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
@@ -417,7 +500,7 @@ def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
             pltpu.VMEM((2, NFEAT, CHUNK), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((pix, 1), feats.dtype),
-            pltpu.VMEM((pix, 8), feats.dtype),
+            pltpu.VMEM((pix, 4), feats.dtype),
         ],
     )
     return pl.pallas_call(
@@ -432,11 +515,11 @@ def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
 
 
 def _bwd_call(feats, bg, fwd_out, ct, astart, nchunk, phase, count,
-              pad_cstart, m_pad, ox, oy, n_tiles, interpret, pix,
+              max_pairs, ox, oy, n_tiles, interpret, pix,
               block_x, rect_mask, early_stop, grad_dtype=None):
     grad_dtype = grad_dtype or feats.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=6,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -455,22 +538,25 @@ def _bwd_call(feats, bg, fwd_out, ct, astart, nchunk, phase, count,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, NFEAT, CHUNK), grad_dtype),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NFEAT, CHUNK), grad_dtype),  # boundary-chunk carry
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((3,), jnp.int32),  # carry idx / flush flag / target
             pltpu.VMEM((pix, 1), feats.dtype),
             pltpu.VMEM((pix, 1), feats.dtype),
         ],
     )
-    dfeats_init = jnp.zeros((NFEAT, m_pad), grad_dtype)
+    dfeats_init = jnp.zeros((NFEAT, max_pairs), grad_dtype)
     return pl.pallas_call(
         functools.partial(
             _bwd_kernel, pix=pix, block_x=block_x, rect_mask=rect_mask,
             early_stop=early_stop,
         ),
-        out_shape=jax.ShapeDtypeStruct((NFEAT, m_pad), grad_dtype),
+        out_shape=jax.ShapeDtypeStruct((NFEAT, max_pairs), grad_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-        input_output_aliases={11: 0},
+        input_output_aliases={10: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(astart, nchunk, phase, count, pad_cstart, ox, oy, feats, bg, fwd_out,
+    )(astart, nchunk, phase, count, ox, oy, feats, bg, fwd_out,
       ct, dfeats_init)
 
 
@@ -492,12 +578,14 @@ def _segreduce_kernel(
 ):
     """out[g] = sum of dslot columns in [offsets_g, offsets_g + counts_g).
 
-    One program owns 128 consecutive depth-sorted splats. Their pairs are
-    contiguous in expansion-slot space, so the reduction is a streamed
-    one-hot matmul on the MXU — no scatter, no atomics (the XLA scatter-add
-    this replaces ran at ~85 ns/row). ``dslot_hbm`` is feature-major
-    (NFEAT, M); lane windows start 128-aligned (program starts are rounded
-    down — the one-hot mask excludes the other programs' leading slots).
+    One program owns 128 consecutive splats (ORIGINAL id order since round
+    5 — the gauss-key payload sort groups each splat's cotangents
+    contiguously, so the reduction lands directly in original order). The
+    reduction is a streamed one-hot matmul on the MXU — no scatter, no
+    atomics (the XLA scatter-add this replaces ran at ~85 ns/row).
+    ``dslot_hbm`` is feature-major (NFEAT, M); lane windows start
+    128-aligned (program starts are rounded down — the one-hot mask
+    excludes the other programs' leading slots).
     """
     b = pl.program_id(0)
     dtype = out_ref.dtype
@@ -584,9 +672,11 @@ def _segreduce_call(dslot, counts2d, pstart, pchunks, total_arr, interpret):
     )(pstart, pchunks, total_arr, counts2d, dslot)
 
 
+NGRAD = 10  # live gradient rows: ddx ddy 3x dconic dop 4x drgbz
+
+
 def make_pair_pipeline(
     n: int,
-    m_pad: int,
     n_tiles: int,
     interpret: bool = False,
     early_stop: bool = True,
@@ -595,22 +685,30 @@ def make_pair_pipeline(
 ):
     """Pair gather + compositing as ONE custom_vjp.
 
-    Forward: feats = gfeat_T[:, gidx] * valid (a lane gather from the
-    (16, N) original-order splat table), then the Pallas compositor.
+    Forward: feats = gfeat_T[:, gidx] (a lane gather from the (16, N)
+    original-order splat table), then the Pallas compositor.
 
     Backward (all hand-rolled — none of this is XLA AD):
-      1. the bwd compositor kernel writes per-pair cotangents straight in
-         ``bf16`` when ``grad_bf16`` (default): the steps below are
-         HBM/index bound, per-pair gradients tolerate 8-bit mantissas, and
-         keeping the boundary *inside* this custom_vjp keeps the op's own
-         cotangent f32 like its primal;
-      2. aligned -> expansion-slot routing: the blocked counting sort's slot
-         permutation is inverted with one sort (cheaper than XLA scatter,
-         which sorts internally anyway), then one lane gather;
-      3. a Pallas segment-reduce sums each splat's contiguous expansion-slot
-         run into (NFEAT, 128) blocks with f32 MXU accumulation;
-      4. one permutation gather maps depth-ranked sums back to original
-         splat order.
+      1. the bwd compositor kernel writes per-pair cotangents UNPADDED into
+         the sorted-pair stream (boundary chunks merged through its VMEM
+         carry), in ``bf16`` when ``grad_bf16`` (default): the routing
+         below is HBM/issue bound, per-pair gradients tolerate 8-bit
+         mantissas, and keeping the boundary *inside* this custom_vjp keeps
+         the op's own cotangent f32 like its primal;
+      2. ONE unstable sort keyed by ORIGINAL splat id carries the NGRAD
+         cotangent rows into per-splat groups. This replaced round 4's
+         slot-inversion sort + M-sized cotangent gather + final N-sized
+         permutation gather: TPU gathers cost ~6.4 ns/row regardless of
+         layout/width/coherence (measured round 5 — row-major, blocked,
+         narrow, and coherent-index variants all tie), while a sort
+         payload costs ~1.6 ns/row/operand, so moving the rows with the
+         sort wins ~9 ms at 2.2M pairs;
+      3. a Pallas segment-reduce sums each splat's contiguous group (group
+         lengths = the rect pair counts ``ntiles``; culled pairs ride along
+         with zero cotangents) straight into ORIGINAL splat order with f32
+         MXU accumulation. On pair-budget overflow (dropped pairs) a
+         lax.cond branch computes the per-splat PRESENT counts instead —
+         only that rare step pays the inverse-permutation gather.
     """
     n_blocks = -(-n // SEG_SPLATS)
     n_pad = n_blocks * SEG_SPLATS
@@ -625,93 +723,141 @@ def make_pair_pipeline(
         return jnp.take(gfeat_t, gauss_pad, axis=1)
 
     @jax.custom_vjp
-    def run(gfeat_t, gauss_pad, dst_sorted, slot_sorted, offsets, total,
-            inv_order, bg, astart, nchunk, phase, count, pad_cstart, ox, oy):
+    def run(gfeat_t, gauss_pad, slot_sorted, ntiles, offsets_depth, order,
+            total, bg, astart, nchunk, phase, count, ox, oy):
         feats = _gather(gfeat_t, gauss_pad)
         return _fwd_call(
             feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
             interpret, early_stop, pix, block, rect_mask,
         )
 
-    def fwd(gfeat_t, gauss_pad, dst_sorted, slot_sorted, offsets, total,
-            inv_order, bg, astart, nchunk, phase, count, pad_cstart, ox, oy):
+    def fwd(gfeat_t, gauss_pad, slot_sorted, ntiles, offsets_depth, order,
+            total, bg, astart, nchunk, phase, count, ox, oy):
         feats = _gather(gfeat_t, gauss_pad)
         out = _fwd_call(
             feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
             interpret, early_stop, pix, block, rect_mask,
         )
-        return out, (feats, bg, out, dst_sorted, slot_sorted, offsets, total,
-                     inv_order, astart, nchunk, phase, count, pad_cstart,
-                     ox, oy)
+        return out, (feats, bg, out, gauss_pad, slot_sorted, ntiles,
+                     offsets_depth, order, total, astart, nchunk, phase,
+                     count, ox, oy)
 
     def bwd(res, ct):
-        (feats, bg, out, dst_sorted, slot_sorted, offsets, total, inv_order,
-         astart, nchunk, phase, count, pad_cstart, ox, oy) = res
+        (feats, bg, out, gauss_pad, slot_sorted, ntiles, offsets_depth,
+         order, total, astart, nchunk, phase, count, ox, oy) = res
+        max_pairs = slot_sorted.shape[0]
         # full-NOUT cotangent canvas goes straight to the kernel (rows
         # 0:4 used in-kernel; a host-side ct[:, :, 0:4] slice cost 3.2 ms)
         dcols_t = _bwd_call(
-            feats, bg, out, ct, astart, nchunk, phase, count, pad_cstart,
-            m_pad, ox, oy, n_tiles, interpret, pix, block, rect_mask,
+            feats, bg, out, ct, astart, nchunk, phase, count,
+            max_pairs, ox, oy, n_tiles, interpret, pix, block, rect_mask,
             early_stop, grad_dtype,
-        )  # (NFEAT, m_pad) in grad dtype; zero outside every tile range
+        )  # (NFEAT, max_pairs) grad dtype, sorted-pair order; zero outside
+        # every tile range (aliased zero init)
 
-        max_pairs = dst_sorted.shape[0]
-        # slot_sorted is a complete permutation of [0, max_pairs): sorting
-        # (slot, dst) by slot inverts it ~2x cheaper than XLA's scatter
-        # (which internally sorts anyway) — 13.7 vs 29.4 ms at 4.7M on v5e.
-        _, dst_of_slot = jax.lax.sort(
-            (slot_sorted, dst_sorted), num_keys=1
-        )
-        # expansion-slot order: each DEPTH-RANKED splat's pairs contiguous.
-        # Invalid/culled slots carry dst = position + trailing cummax delta,
-        # which lands in the padded layout's zero-filled tail / masked-lane
-        # regions (never written by any tile's bwd program, zero via the
-        # aliased init) — and their counts exclude them from every segment,
-        # so the gathered garbage-free zeros never reach a sum anyway.
-        dslot = jnp.take(
-            dcols_t, jnp.clip(dst_of_slot, 0, m_pad - 1), axis=1
-        )
+        # group per-pair cotangents by ORIGINAL splat id: dead slots beyond
+        # the real pair count get a sentinel key (n) and sort past every
+        # real group; culled pairs keep their splat's key and contribute
+        # exact zeros (they sit past every tile's range in the stream)
+        cap = jnp.minimum(total, max_pairs).astype(jnp.int32)
+        gauss_sl = jax.lax.slice_in_dim(gauss_pad, 0, max_pairs)
+        gkey = jnp.where(slot_sorted < cap, gauss_sl, jnp.int32(n))
+        if dcols_t.dtype == jnp.bfloat16:
+            # pack bf16 row pairs into u32 words: sort payloads cost
+            # ~1.6 ms/operand at 2.2M pairs regardless of element width
+            # (measured round 5), so 5 packed words beat 10 bf16 rows
+            def pack2(a, b):
+                lo = jax.lax.bitcast_convert_type(a, jnp.uint16).astype(
+                    jnp.uint32
+                )
+                hi = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(
+                    jnp.uint32
+                )
+                return (hi << 16) | lo
+
+            packed = [
+                pack2(dcols_t[2 * i], dcols_t[2 * i + 1])
+                for i in range(NGRAD // 2)
+            ]
+            sorted_ops = jax.lax.sort(
+                (gkey, *packed), dimension=0, num_keys=1, is_stable=False
+            )
+
+            def unpack2(w):
+                lo = jax.lax.bitcast_convert_type(
+                    (w & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+                )
+                hi = jax.lax.bitcast_convert_type(
+                    (w >> 16).astype(jnp.uint16), jnp.bfloat16
+                )
+                return lo, hi
+
+            rows = [r for wd in sorted_ops[1:] for r in unpack2(wd)]
+        else:
+            sorted_ops = jax.lax.sort(
+                (gkey, *(dcols_t[f] for f in range(NGRAD))),
+                dimension=0, num_keys=1, is_stable=False,
+            )
+            rows = list(sorted_ops[1:])
+        zrow = jnp.zeros((max_pairs,), dcols_t.dtype)
+        dslot = jnp.stack(rows + [zrow] * (NFEAT - NGRAD), axis=0)
         dslot = jnp.pad(dslot, ((0, 0), (0, SEG_CHUNK + 128)))
 
-        cap = jnp.minimum(total, max_pairs).astype(jnp.int32)
-        counts = jnp.diff(offsets, append=total[None]).astype(jnp.int32)
+        # per-splat group geometry in original order. No drops (the
+        # operating point): lengths are exactly the rect pair counts. With
+        # drops: the farthest DEPTH-ranked slots were cut, so each splat
+        # keeps clip(max_pairs - its_first_slot, 0, ntiles) pairs — only
+        # this branch pays the inverse-permutation + gather.
+        def _no_drop(_):
+            return ntiles
+
+        def _with_drop(_):
+            _, inv = jax.lax.sort(
+                (order.astype(jnp.int32),
+                 jnp.arange(n, dtype=jnp.int32)),
+                num_keys=1,
+            )
+            off_d = jnp.take(offsets_depth.astype(jnp.int32), inv)
+            return jnp.clip(max_pairs - off_d, 0, ntiles)
+
+        counts = jax.lax.cond(
+            total <= max_pairs, _no_drop, _with_drop, 0
+        ).astype(jnp.int32)
+        offsets_o = (jnp.cumsum(counts) - counts).astype(jnp.int32)
         counts2d = jnp.pad(counts, (0, n_pad - n)).reshape(
             n_blocks, 1, SEG_SPLATS
         )
         if n_pad > n:
             tail = jnp.broadcast_to(cap, (n_pad - n,))
-            offsets_pad = jnp.concatenate([offsets.astype(jnp.int32), tail])
+            offsets_pad = jnp.concatenate([offsets_o, tail])
         else:
-            offsets_pad = offsets.astype(jnp.int32)
+            offsets_pad = offsets_o
         pstart = jnp.minimum(offsets_pad[:: SEG_SPLATS], cap)
         # chunk counts from the 128-aligned DMA origin to the block end
-        astart = (pstart // 128) * 128
+        astart_s = (pstart // 128) * 128
         block_end = jnp.concatenate([pstart[1:], cap[None]])
-        pchunks = -(-jnp.maximum(block_end - astart, 0) // SEG_CHUNK)
+        pchunks = -(-jnp.maximum(block_end - astart_s, 0) // SEG_CHUNK)
         total_arr = cap.reshape(1)
 
         segsum = _segreduce_call(
             dslot, counts2d, pstart, pchunks.astype(jnp.int32), total_arr,
             interpret,
-        )  # (n_blocks, NFEAT, 128) f32
-        dtable = segsum.transpose(1, 0, 2).reshape(NFEAT, n_pad)
-        # depth-rank k sums -> original splat order[k]
-        dtable = jnp.take(dtable, inv_order, axis=1)
+        )  # (n_blocks, NFEAT, 128) f32, already in original splat order
+        dtable = segsum.transpose(1, 0, 2).reshape(NFEAT, n_pad)[:, :n]
         f0 = jax.dtypes.float0
         return (
             dtable,
-            np.zeros((dst_sorted.shape[0] + 2 * CHUNK,), f0),  # gauss_pad
-            np.zeros(dst_sorted.shape, f0),
+            np.zeros(gauss_pad.shape, f0),
             np.zeros(slot_sorted.shape, f0),
-            np.zeros(offsets.shape, f0),
+            np.zeros(ntiles.shape, f0),
+            np.zeros(offsets_depth.shape, f0),
+            np.zeros(order.shape, f0),
             np.zeros(total.shape, f0),
-            np.zeros(inv_order.shape, f0),
             jnp.zeros_like(bg),
             np.zeros(astart.shape, f0),
             np.zeros(nchunk.shape, f0),
             np.zeros(phase.shape, f0),
             np.zeros(count.shape, f0),
-            np.zeros(pad_cstart.shape, f0),
             np.zeros(ox.shape, f0),
             np.zeros(oy.shape, f0),
         )
@@ -755,14 +901,10 @@ def rasterize_pallas(
     n_tiles = grid_x * gy
 
     max_pairs = -(-config.max_pairs // CHUNK) * CHUNK
-    # m_pad sizes only the BACKWARD pair-gradient layout (each tile's
-    # aligned read window padded up to whole chunks — at most 2 chunks of
-    # overhead per tile); the forward stream is unpadded
-    m_pad = max_pairs + 2 * CHUNK * n_tiles
-    (gauss_s, slot_sorted, dst_sorted, astart, phase, tile_count, pad_cstart,
-     nchunk, num_pairs, num_dropped, slot_offsets, order) = (
+    (gauss_s, slot_sorted, astart, phase, tile_count, nchunk, num_pairs,
+     num_dropped, ntiles, slot_offsets, order) = (
         binning.build_sorted_bins(
-            prep, grid_x, grid_y, max_pairs, m_pad, tile_y_offset, gy,
+            prep, grid_x, grid_y, max_pairs, tile_y_offset, gy,
             interpret=interpret, block=blk,
         )
     )
@@ -804,13 +946,13 @@ def rasterize_pallas(
     bg_pad = jnp.zeros((1, 128), gfeat_t.dtype).at[0, 0:3].set(background)
 
     pipeline = make_pair_pipeline(
-        gfeat_t.shape[1], m_pad, n_tiles, interpret, early_stop, blk,
+        gfeat_t.shape[1], n_tiles, interpret, early_stop, blk,
         grad_bf16=config.pair_grad_bf16,
     )
     out = pipeline(
-        gfeat_t, gauss_pad, dst_sorted, slot_sorted, slot_offsets,
-        jnp.asarray(num_pairs, jnp.int32), jnp.argsort(order),
-        bg_pad, astart, nchunk, phase, tile_count, pad_cstart, ox, oy,
+        gfeat_t, gauss_pad, slot_sorted, ntiles, slot_offsets, order,
+        jnp.asarray(num_pairs, jnp.int32),
+        bg_pad, astart, nchunk, phase, tile_count, ox, oy,
     )  # (T, pix, NOUT)
 
     out_h = gy * blk if banded else height

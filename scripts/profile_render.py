@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--height", type=int, default=192)
     parser.add_argument("--splats", type=int, default=100_000)
     parser.add_argument("--max-pairs", type=int, default=1 << 20)
+    parser.add_argument(
+        "--scale", type=float, default=0.05,
+        help="splat scale; bench.py's headline scene uses 0.008",
+    )
     parser.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
     parser.add_argument("--grad", action="store_true")
     parser.add_argument("--top", type=int, default=20)
@@ -46,7 +50,7 @@ def main():
     from gaussian_splatting_lightning_tpu.training.trainer import resolve_rasterizer
 
     w, h, n = args.width, args.height, args.splats
-    scene = ge._synthetic_scene(n, n)
+    scene = ge._synthetic_scene(n, n, scale=args.scale)
     cam = ge._camera(w, h)
     raster = resolve_rasterizer(args.impl)
     cfg = TilingConfig(max_pairs=args.max_pairs)

@@ -123,22 +123,22 @@ def main():
         prep = preprocess(*p, cam, w, h, 3)
         grid_x, grid_y_full = binning.grid_shape(w, h, blk, blk)
         full_bins = binning.build_sorted_bins(
-            prep, grid_x, grid_y_full, cfg.max_pairs, 0
+            prep, grid_x, grid_y_full, cfg.max_pairs
         )
         band_bins = [
             binning.build_sorted_bins(
-                prep, grid_x, grid_y_full, cfg.max_pairs, 0,
+                prep, grid_x, grid_y_full, cfg.max_pairs,
                 tile_y_offset=b * gy_local, grid_y_local=gy_local,
             )
             for b in range(args.bands)
         ]
-        return full_bins[:6], [bb[:6] for bb in band_bins]
+        return full_bins[:5], [bb[:5] for bb in band_bins]
 
-    (fg, _, _, fa, fp, fc), band_bins = jax.block_until_ready(pair_lists(*p))
+    (fg, _, fa, fp, fc), band_bins = jax.block_until_ready(pair_lists(*p))
     fg, fa, fp, fc = (np.asarray(x) for x in (fg, fa, fp, fc))
     grid_x = -(-w // blk)
     lists_equal = True
-    for b, (bg_, _, _, ba, bp, bc) in enumerate(band_bins):
+    for b, (bg_, _, ba, bp, bc) in enumerate(band_bins):
         bg_, ba, bp, bc = (np.asarray(x) for x in (bg_, ba, bp, bc))
         for t_local in range(grid_x * gy_local):
             t_global = t_local + b * gy_local * grid_x

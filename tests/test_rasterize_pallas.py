@@ -277,15 +277,14 @@ def test_sorted_bins_positional_machinery():
         radius_bin=jnp.asarray(rng.uniform(1, 40, size=n).astype(np.float32)),
         cull_r2=jnp.full(n, 1e9, jnp.float32),  # cull off: pure geometry
     )
-    (gauss_s, slot_s, dst, astart, phase, count, pad_cstart, nchunk,
-     total, dropped, offsets, order) = binning.build_sorted_bins(
-        prep, grid_x, grid_y, max_pairs, max_pairs + 2 * 128 * n_tiles,
+    (gauss_s, slot_s, astart, phase, count, nchunk,
+     total, dropped, ntiles, offsets, order) = binning.build_sorted_bins(
+        prep, grid_x, grid_y, max_pairs,
         interpret=True, block=16,
     )
-    gauss_s, slot_s, dst, astart, phase, count, pad_cstart, nchunk = (
+    gauss_s, slot_s, astart, phase, count, nchunk, ntiles = (
         np.asarray(x)
-        for x in (gauss_s, slot_s, dst, astart, phase, count, pad_cstart,
-                  nchunk)
+        for x in (gauss_s, slot_s, astart, phase, count, nchunk, ntiles)
     )
     assert int(dropped) == 0
     tile_start = astart + phase
@@ -315,25 +314,19 @@ def test_sorted_bins_positional_machinery():
         got = gauss_s[tile_start[t]: tile_start[t] + count[t]]
         np.testing.assert_array_equal(got, np.asarray(pairs_ref[t], np.int32))
 
-    # (b) aligned window geometry
+    # (b) aligned window geometry (bwd windows end within max_pairs, so the
+    # unpadded bwd writes stay in bounds)
     np.testing.assert_array_equal(astart % 128, 0)
     assert (phase == tile_start - astart).all()
     np.testing.assert_array_equal(nchunk, -(-(phase + count) // 128))
-    pad_start = pad_cstart * 128
-    np.testing.assert_array_equal(
-        pad_start, np.cumsum(np.concatenate([[0], (nchunk * 128)[:-1]]))
-    )
+    assert (astart + nchunk * 128 <= max_pairs).all()
 
-    # (c) the delta fill: dst == position + (pad_start - astart)[tile],
-    # consistent with where the bwd kernel writes window lane
-    # (pos - astart) of tile t at pad_start[t] + (pos - astart)
-    for t in range(n_tiles):
-        pos = np.arange(tile_start[t], tile_start[t] + count[t])
-        np.testing.assert_array_equal(
-            dst[pos], pos + pad_start[t] - astart[t]
-        )
+    # (c) ntiles = per-splat rect pair counts in ORIGINAL order (the bwd
+    # sort's segment lengths; cull disabled here so counts are pure rects)
+    area = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+    np.testing.assert_array_equal(ntiles, np.where(vis, area, 0))
 
-    # (d) slot_s is a permutation (the bwd consumer sort-inverts it)
+    # (d) slot_s is a permutation (the bwd keys its cotangent sort off it)
     assert np.array_equal(np.sort(slot_s), np.arange(max_pairs))
 
 
