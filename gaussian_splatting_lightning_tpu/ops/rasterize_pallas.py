@@ -56,9 +56,10 @@ CHUNK = 128  # pairs per VMEM chunk (lane dimension)
 SLAB = 256  # pixel rows per bwd-kernel step (VMEM working-set bound)
 PALLAS_BLOCK = 32  # default tile edge (px) for this path; see TilingConfig
 NFEAT = 16  # px py ca cb cc op r g b invz (6 pad); == grad rows
-NOUT = 4  # r g b invd (tfin was row 4 through round 4 — never consumed, and
-# dropping it halves the output canvas and makes the upstream cotangent
-# arrive exactly (T, pix, 4): no 67 MB zero-pad before the bwd kernel)
+NOUT = 4  # r g b invd (tfin was row 4 through round 4 — never consumed;
+# dropping it halves the output canvas, and the canvas is channel-first
+# (T, NOUT, pix) so its lane dim is pixels — a (pix, 4) minor dim would
+# tile 4 -> 128 lanes, a 32x physical inflation every consumer pays)
 
 F_PX, F_PY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_IZ = range(10)
 # At tile sizes other than the reference's 16 px, rows 10-13 carry the
@@ -209,7 +210,11 @@ def _fwd_kernel(
             get_dma(jax.lax.rem(final_ci, 2), final_ci).wait()
 
     color = acc[:, 0:3] + tcar[...] * bg_ref[0:1, 0:3]  # bg composited in
-    out_ref[0] = jnp.concatenate([color, acc[:, 3:4]], axis=1)  # (pix, NOUT)
+    # channel-first (NOUT, pix): lanes = pixels. A (pix, NOUT) canvas
+    # tiles its 4-wide minor dim to 128 lanes on TPU — a 32x physical
+    # inflation every producer/consumer pays; one in-register transpose
+    # here keeps the whole canvas lane-dense (round-5 layout fix)
+    out_ref[0] = jnp.concatenate([color, acc[:, 3:4]], axis=1).T
 
 
 def _bwd_kernel(
@@ -265,8 +270,8 @@ def _bwd_kernel(
             csem,
         )
 
-    G = ct_ref[0]  # dL/d[r g b invd]
-    fwd = fwd_out_ref[0]  # (pix, NOUT)
+    G = ct_ref[0].T  # (pix, NOUT) dL/d[r g b invd]
+    fwd = fwd_out_ref[0].T  # (pix, NOUT)
     # Gtotal'[p] = sum_f G*total'_f with total'_rgb = color_with_bg (already
     # contains the T_fin*bg term) and total'_d = total inverse depth; then
     # suffix-through-j = Gtotal' - prefix_incl (see module docstring).
@@ -494,7 +499,7 @@ def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, pix, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, NOUT, pix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, NFEAT, CHUNK), feats.dtype),
@@ -508,7 +513,7 @@ def _fwd_call(feats, bg, astart, nchunk, phase, count, ox, oy, n_tiles,
             _fwd_kernel, early_stop=early_stop, pix=pix, block_x=block_x,
             rect_mask=rect_mask,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, pix, NOUT), feats.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, NOUT, pix), feats.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(astart, nchunk, phase, count, ox, oy, feats, bg)
@@ -525,10 +530,10 @@ def _bwd_call(feats, bg, fwd_out, ct, astart, nchunk, phase, count,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, pix, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, NOUT, pix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, pix, NOUT), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, NOUT, pix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -866,6 +871,17 @@ def make_pair_pipeline(
     return run
 
 
+def _assemble_cf(out_t, grid_x, grid_y, width, height, block):
+    """(T, C, pix) channel-first tile canvas -> (C, H, W) image; every
+    intermediate keeps a lane-dense minor dim (pixel columns)."""
+    c = out_t.shape[1]
+    t = out_t.reshape(grid_y, grid_x, c, block, block)
+    t = t.transpose(2, 0, 3, 1, 4).reshape(
+        c, grid_y * block, grid_x * block
+    )
+    return t[:, :height, :width]
+
+
 def rasterize_pallas(
     means3d, opacities, scales, quats, sh, camera, width, height,
     background, sh_degree, config=None, max_sh_degree=None,
@@ -884,7 +900,6 @@ def rasterize_pallas(
     )
     from gaussian_splatting_lightning_tpu.ops.rasterize_tiled import (
         TilingConfig,
-        _assemble,
     )
 
     config = config or TilingConfig()
@@ -956,12 +971,9 @@ def rasterize_pallas(
     )  # (T, pix, NOUT)
 
     out_h = gy * blk if banded else height
-    image = _assemble(
-        out[..., 0:3], grid_x, gy, width, out_h, 3, block_x=blk, block_y=blk
-    )
-    depth = _assemble(
-        out[..., 3], grid_x, gy, width, out_h, block_x=blk, block_y=blk
-    )
+    imgd = _assemble_cf(out, grid_x, gy, width, out_h, blk)  # (NOUT, H, W)
+    image = imgd[0:3]
+    depth = imgd[3]
 
     stats = {
         "num_pairs": num_pairs,
@@ -971,6 +983,6 @@ def rasterize_pallas(
         "num_visible": jnp.sum(prep.visible.astype(jnp.int32)),
     }
     render = RenderOutput(
-        image=jnp.moveaxis(image, -1, 0), radii=prep.radius, depth=depth[None]
+        image=image, radii=prep.radius, depth=depth[None]
     )
     return render, stats
