@@ -87,7 +87,15 @@ def _strict_upper(dtype):
     return (r < c).astype(dtype)
 
 
-def _chunk_alpha(chunk, px, py, rect_mask):
+def _subtile_coords(px, py, rect_mask):
+    """Hoisted per-tile 16px-subtile coords for _chunk_alpha (pure pixel
+    functions — recomputing them per chunk/slab wasted VPU passes)."""
+    if not rect_mask:
+        return None
+    return jnp.floor(px * (1.0 / 16.0)), jnp.floor(py * (1.0 / 16.0))
+
+
+def _chunk_alpha(chunk, px, py, sxy):
     """Shared fwd/bwd math: chunk (NFEAT, 128) -> (pix, 128) fields."""
     dx = chunk[F_PX : F_PX + 1, :] - px  # (pix, 128)
     dy = chunk[F_PY : F_PY + 1, :] - py
@@ -100,10 +108,9 @@ def _chunk_alpha(chunk, px, py, rect_mask):
     raw = e * chunk[F_OP : F_OP + 1, :]
     alpha = jnp.minimum(raw, ALPHA_CLAMP)
     keep = alpha > ALPHA_THRESHOLD
-    if rect_mask:
+    if sxy is not None:
         # pixel's 16px subtile vs the pair's reference-granularity rect
-        sx = jnp.floor(px * (1.0 / 16.0))  # (pix, 1), int-valued
-        sy = jnp.floor(py * (1.0 / 16.0))
+        sx, sy = sxy
         keep = (
             keep
             & (sx >= chunk[F_X0 : F_X0 + 1, :])
@@ -150,6 +157,7 @@ def _fwd_kernel(
     phase = phase_ref[t]
     count = count_ref[t]
 
+    sxy = _subtile_coords(px, py, rect_mask)
     tcar[...] = jnp.ones((pix, 1), dtype)
     acc[...] = jnp.zeros((pix, 4), dtype)
 
@@ -174,7 +182,7 @@ def _fwd_kernel(
 
         get_dma(slot, ci).wait()
         chunk = buf[slot]  # (NFEAT, 128)
-        _, _, _, _, alpha = _chunk_alpha(chunk, px, py, rect_mask)
+        _, _, _, _, alpha = _chunk_alpha(chunk, px, py, sxy)
         alpha = alpha * _lane_valid(ci, phase, count, dtype)
 
         lw = jnp.log1p(-alpha)  # alpha <= 0.99 -> well-conditioned
@@ -277,6 +285,7 @@ def _bwd_kernel(
     # suffix-through-j = Gtotal' - prefix_incl (see module docstring).
     g_total = jnp.sum(G * fwd[:, 0:4], axis=1, keepdims=True)  # (256, 1)
 
+    sxy = _subtile_coords(px, py, rect_mask)
     tcar[...] = jnp.ones((pix, 1), dtype)
     gapre[...] = jnp.zeros((pix, 1), dtype)  # sum_f G * prefix_f
 
@@ -321,8 +330,9 @@ def _bwd_kernel(
         grad = jnp.zeros((NFEAT, CHUNK), dtype)
         for s in range(n_slabs):
             sl = slice(s * slab, (s + 1) * slab)
+            sxy_sl = None if sxy is None else (sxy[0][sl], sxy[1][sl])
             dx, dy, e, raw, alpha = _chunk_alpha(
-                chunk, px[sl], py[sl], rect_mask
+                chunk, px[sl], py[sl], sxy_sl
             )
             alpha = alpha * lane_ok
             lw = jnp.log1p(-alpha)
@@ -338,19 +348,29 @@ def _bwd_kernel(
                 wE, U, preferred_element_type=dtype
             ) + wE
             suffix = g_total[sl] - prefix_incl  # G.(suffix colors + Tfin*bg)
-            one_m = 1.0 - alpha
             has_grad = alpha > 0.0  # thresholded alphas detach entirely
+            # 1/(1-alpha) == exp(-log1p(-alpha)) — reuses lw and replaces a
+            # multi-pass VPU divide with one transcendental
             d_alpha = jnp.where(
                 has_grad,
-                jnp.where(live, E * t_in, 0.0) - suffix / one_m,
+                jnp.where(live, E * t_in, 0.0) - suffix * jnp.exp(-lw),
                 0.0,
             )
             unclamped = raw < ALPHA_CLAMP
             d_power = jnp.where(unclamped, d_alpha * alpha, 0.0)  # op*e
-            d_op_px = jnp.where(unclamped, d_alpha * e, 0.0)
 
-            ddx = d_power * (-(ca * dx + cb * dy))
-            ddy = d_power * (-(cb * dx + cc * dy))
+            # moment-sum refactor: the position/conic gradients are
+            # per-pair linear combinations of five pixel-reduced moments
+            # of d_power (ca/cb/cc are per-pair constants), so build five
+            # (slab, 128) products instead of six full gradient fields and
+            # apply the coefficients on (1, 128) rows after the reduction
+            t1 = d_power * dx
+            t2 = d_power * dy
+            m0 = colsum(d_power)
+            m1x, m1y = colsum(t1), colsum(t2)
+            m2xx = colsum(t1 * dx)
+            m2xy = colsum(t1 * dy)
+            m2yy = colsum(t2 * dy)
 
             d_rgbz = jax.lax.dot_general(
                 G[sl], w, (((0,), (0,)), ((), ())),
@@ -358,11 +378,14 @@ def _bwd_kernel(
             )  # (4, 128)
             grad = grad + jnp.concatenate(
                 [
-                    colsum(ddx), colsum(ddy),
-                    colsum(d_power * (-0.5 * dx * dx)),
-                    colsum(d_power * (-dx * dy)),
-                    colsum(d_power * (-0.5 * dy * dy)),
-                    colsum(d_op_px),
+                    -(ca * m1x + cb * m1y), -(cb * m1x + cc * m1y),
+                    -0.5 * m2xx,
+                    -m2xy,
+                    -0.5 * m2yy,
+                    # d_op = sum_px d_alpha*e = sum_px d_power / op (for
+                    # unclamped alphas, alpha = e*op): one per-lane divide
+                    # instead of a full (slab, 128) field + reduction
+                    m0 / jnp.maximum(chunk[F_OP : F_OP + 1, :], 1e-30),
                     d_rgbz,
                     jnp.zeros((NFEAT - 10, CHUNK), dtype),
                 ],
