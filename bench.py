@@ -86,8 +86,8 @@ def run(w, h, n, iters=10, warmup=2):
     # round to sort-block granularity, not the next power of two (which
     # would re-tax every per-pair stage by up to 2x). The host estimate is
     # the EXACT rect-level pair count (ops/budget.py mirrors tile_rect), so
-    # 5% headroom suffices; the dropped-pair aux below guards it.
-    budget = max(16384, -(-int(actual_pairs * 1.05) // 8192) * 8192)
+    # 2% headroom suffices; the dropped-pair aux below guards it.
+    budget = max(16384, -(-int(actual_pairs * 1.02) // 8192) * 8192)
     cfg = TilingConfig(max_pairs=budget, block=BENCH_BLOCK)
     target = jnp.asarray(
         np.random.default_rng(0).uniform(size=(3, h, w)).astype(np.float32)
