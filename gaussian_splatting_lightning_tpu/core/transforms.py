@@ -144,6 +144,14 @@ def project_cov3d_ewa(
     """
     p_view = apply_extrinsic(means3d, viewmatrix)
     z = p_view[..., 2]
+    # a splat exactly AT the camera plane (z == +-0.0) produces
+    # 0 * inf = NaN in the Jacobian terms below, and that NaN forward value
+    # poisons every parameter's gradient through the VJP chain even under a
+    # zero cotangent (NaN * 0 = NaN). Nudge only the exact-degenerate case:
+    # anything with |z| > 0 keeps the reference's raw-z behaviour (the
+    # quirks oracle renders even culled splats, so a wider clamp would
+    # change reference-parity values).
+    z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
     lim_x, lim_y = 1.3 * tan_fovx, 1.3 * tan_fovy
     x = jnp.clip(p_view[..., 0] / z, -lim_x, lim_x) * z
     y = jnp.clip(p_view[..., 1] / z, -lim_y, lim_y) * z
@@ -195,7 +203,15 @@ def conic_and_radius(
     lam_max (...,) — the dilated covariance's larger eigenvalue, used by the
     opacity-aware binning radius).
     """
-    a, b, d = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    # near-camera-plane splats can reach |cov| ~ 1e26, overflowing the det
+    # products to inf and det to inf - inf = NaN — which poisons EVERY
+    # parameter's gradient through the VJP chain even though such splats
+    # are frustum-culled (NaN * 0 = NaN). Clamp magnitudes so products stay
+    # finite; real screen covariances are many orders below this.
+    lim = 1e18
+    a = jnp.clip(cov2d[..., 0], -lim, lim)
+    b = jnp.clip(cov2d[..., 1], -lim, lim)
+    d = jnp.clip(cov2d[..., 2], -lim, lim)
     det_raw = a * d - b * b
     a_h, d_h = a + COV_DILATION, d + COV_DILATION
     det = a_h * d_h - b * b
@@ -236,7 +252,11 @@ def tight_radius(
     distance > r - 1, plus f32 rounding of the kill test near the threshold.
     """
     log_ratio = jnp.log(jnp.maximum(opacity / alpha_threshold, 1.0))
-    return jnp.ceil(jnp.sqrt(2.0 * log_ratio * lam_max)) + 1.0
+    # near-camera-plane splats can overflow lam_max to inf (their radius is
+    # discarded by the frustum cull, but 0 * inf = NaN here would poison
+    # gradients through the VJP chain); cap at a harmless ~1.8M px radius
+    lam_safe = jnp.minimum(lam_max, 1e12)
+    return jnp.ceil(jnp.sqrt(2.0 * log_ratio * lam_safe)) + 1.0
 
 
 def tile_rect(

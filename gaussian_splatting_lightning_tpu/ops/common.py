@@ -100,7 +100,9 @@ def preprocess(
     # q >= d^2/lam_max (Rayleigh bound on the conic) — small multiplicative
     # + absolute margin swallows f32 noise in the compositor's kill test
     log_ratio = jnp.log(jnp.maximum(opacity / ALPHA_THRESHOLD, 1.0))
-    cull_r2 = 2.0 * log_ratio * lam_max * 1.001 + 0.25
+    # lam_max can overflow to inf for (culled) near-camera-plane splats;
+    # 0 * inf = NaN would poison the whole gradient (see tight_radius)
+    cull_r2 = 2.0 * log_ratio * jnp.minimum(lam_max, 1e12) * 1.001 + 0.25
 
     if colors_precomp is not None:
         rgb = colors_precomp

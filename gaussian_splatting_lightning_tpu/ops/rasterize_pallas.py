@@ -658,9 +658,18 @@ def _segreduce_kernel(
             (slotg >= off_abs) & (slotg < off_next)
             & (slotg < total.astype(dtype))
         ).astype(rows.dtype)  # (SEG_CHUNK, 128); 0/1 exact in bf16
+        # bf16 rows: MXU-native, exact. f32 rows: DEFAULT precision would
+        # round them to bf16 on the MXU — which made the "f32 routing"
+        # config bit-identical to bf16 routing (measured round 5). The
+        # one-hot side is exactly representable, so HIGHEST keeps f32 rows
+        # exact; only the f32 (parity/test) config pays the extra passes.
+        precision = (
+            None if rows.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        )
         acc[...] += jax.lax.dot_general(
             rows, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=dtype,
+            preferred_element_type=dtype, precision=precision,
         )  # (NFEAT, 128) accumulated in f32 on the MXU
         return 0
 
@@ -973,7 +982,10 @@ def rasterize_pallas(
             prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
             prep.opacity,
             prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
-            1.0 / prep.depth,
+            # safe divisor: a splat exactly at the camera plane (culled,
+            # never paired) would otherwise put -inf^2 * 0 = NaN into the
+            # depth gradient through this row's VJP
+            1.0 / jnp.where(jnp.abs(prep.depth) > 1e-9, prep.depth, 1.0),
             *rect_rows, zeros_n, zeros_n,
         ],
         axis=0,

@@ -304,6 +304,183 @@ def make_gt_scene_textured(seed: int):
     return scene
 
 
+
+def make_gt_scene_hard(seed: int):
+    """Discriminating ground truth (VERDICT r4 next #4): opaque surfaces
+    whose achievable held-out PSNR sits in the realistic 25-35 dB band —
+    sub-splat-scale texture detail, view-dependent color on SH bands 1-2,
+    and thin structures (poles + wires) that stress densification and
+    anti-aliasing. A GT a framework can ace cannot expose quality
+    regressions; this one can."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gaussian_splatting_lightning_tpu.models import from_points
+
+    rng = np.random.default_rng(seed)
+    xyz_l, rgb_l, quat_l, scale_l = [], [], [], []
+
+    def add(xyz, rgb, quats, scales):
+        xyz_l.append(xyz.astype(np.float32))
+        rgb_l.append(rgb.astype(np.float32))
+        quat_l.append(quats.astype(np.float32))
+        scale_l.append(scales.astype(np.float32))
+
+    def sharp_color(u, v, palette):
+        base = _surface_color(u, v, rng, palette)
+        # sub-splat-scale detail octave: spatial frequency well above the
+        # GT splat spacing, so exact reconstruction is impossible and the
+        # achievable PSNR lands in the realistic band
+        fine = _value_noise(u, v, rng, octaves=2, base_freq=61) - 0.5
+        return np.clip(base * (1.0 + 0.55 * fine[:, None]), 0.02, 0.98)
+
+    # ground plane with strong relief + high-frequency texture
+    gn = 300
+    gx, gz = np.meshgrid(np.linspace(0, 1, gn), np.linspace(0, 1, gn))
+    u, v = gx.ravel(), gz.ravel()
+    spacing = 9.0 / gn
+    x = (u - 0.5) * 9.0 + rng.normal(scale=spacing * 0.15, size=gn * gn)
+    z = (v - 0.5) * 9.0 + rng.normal(scale=spacing * 0.15, size=gn * gn)
+    relief = 0.09 * np.sin(x * 3.1) * np.cos(z * 2.6)
+    y = -1.2 + relief
+    pal = (np.array([0.45, 0.52, 0.28]), np.array([0.62, 0.55, 0.38]),
+           np.array([0.25, 0.3, 0.2]))
+    rgb = sharp_color(u, v, pal)
+    nrm = np.stack([-0.28 * np.cos(x * 3.1) * np.cos(z * 2.6),
+                    np.ones_like(x),
+                    0.23 * np.sin(x * 3.1) * np.sin(z * 2.6)], 1)
+    sc = np.full((gn * gn, 3), spacing * 0.75)
+    sc[:, 2] = spacing * 0.06
+    add(np.stack([x, y, z], 1), rgb, _normal_quat(nrm), sc)
+
+    # five textured spheres
+    spheres = [
+        ((-1.4, -0.45, 0.7), 0.75), ((1.3, -0.3, -0.5), 0.9),
+        ((0.1, -0.8, -1.5), 0.4), ((-0.4, -0.55, -0.2), 0.55),
+        ((1.7, -0.75, 1.3), 0.45),
+    ]
+    pals = [
+        (np.array([0.7, 0.25, 0.2]), np.array([0.9, 0.75, 0.3]),
+         np.array([0.3, 0.1, 0.1])),
+        (np.array([0.2, 0.35, 0.7]), np.array([0.7, 0.8, 0.9]),
+         np.array([0.1, 0.15, 0.3])),
+        (np.array([0.75, 0.6, 0.2]), np.array([0.4, 0.2, 0.5]),
+         np.array([0.2, 0.2, 0.1])),
+        (np.array([0.25, 0.6, 0.5]), np.array([0.85, 0.9, 0.7]),
+         np.array([0.1, 0.25, 0.2])),
+        (np.array([0.6, 0.45, 0.7]), np.array([0.9, 0.85, 0.9]),
+         np.array([0.25, 0.15, 0.3])),
+    ]
+    for (center, rad), spal in zip(spheres, pals):
+        m = int(30000 * rad * rad)
+        k = np.arange(m, dtype=np.float64)
+        phi = np.arccos(1 - 2 * (k + 0.5) / m)
+        theta = np.pi * (1 + 5 ** 0.5) * k
+        n = np.stack([np.sin(phi) * np.cos(theta), np.cos(phi),
+                      np.sin(phi) * np.sin(theta)], 1)
+        pts = np.asarray(center) + rad * n
+        su = (theta / (2 * np.pi)) % 1.0
+        sv = phi / np.pi
+        rgb = sharp_color(su, sv, spal)
+        sp = rad * np.sqrt(4 * np.pi / m)
+        sc = np.full((m, 3), sp * 0.8)
+        sc[:, 2] = sp * 0.08
+        add(pts, rgb, _normal_quat(n), sc)
+
+    # two boxes
+    boxes = [
+        (np.array([0.3, -0.9, 1.6]), np.array([0.55, 0.3, 0.4]),
+         (np.array([0.55, 0.3, 0.55]), np.array([0.85, 0.8, 0.75]),
+          np.array([0.2, 0.1, 0.2]))),
+        (np.array([-1.9, -1.0, -1.1]), np.array([0.35, 0.2, 0.5]),
+         (np.array([0.3, 0.5, 0.6]), np.array([0.75, 0.7, 0.55]),
+          np.array([0.15, 0.2, 0.25]))),
+    ]
+    fn = 60
+    fu, fv = np.meshgrid(np.linspace(0, 1, fn), np.linspace(0, 1, fn))
+    fu, fv = fu.ravel(), fv.ravel()
+    for bc, he, bpal in boxes:
+        for axis, sign in [(0, 1), (0, -1), (1, 1), (2, 1), (2, -1)]:
+            a1, a2 = [i for i in range(3) if i != axis]
+            pts = np.zeros((fn * fn, 3))
+            pts[:, axis] = sign * he[axis]
+            pts[:, a1] = (fu - 0.5) * 2 * he[a1]
+            pts[:, a2] = (fv - 0.5) * 2 * he[a2]
+            pts += bc
+            nrm = np.zeros((fn * fn, 3))
+            nrm[:, axis] = sign
+            rgb = sharp_color(fu, fv, bpal)
+            sp = 2 * max(he[a1], he[a2]) / fn
+            sc = np.full((fn * fn, 3), sp * 0.8)
+            sc[:, 2] = sp * 0.08
+            add(pts, rgb, _normal_quat(nrm), sc)
+
+    # thin structures: a ring of poles with sagging wires between them —
+    # sub-pixel-width geometry at viewing distance (densify + AA stress)
+    n_poles = 14
+    pole_tops = []
+    for i in range(n_poles):
+        ang = 2 * np.pi * i / n_poles
+        px0, pz0 = 2.9 * np.cos(ang), 2.9 * np.sin(ang)
+        ytop = 0.5 + 0.15 * np.sin(ang * 3)
+        pole_tops.append((px0, ytop, pz0))
+        m = 900
+        t = rng.uniform(0, 1, m)
+        th = rng.uniform(0, 2 * np.pi, m)
+        r0 = 0.025
+        py = -1.2 + t * (ytop + 1.2)
+        pts = np.stack([px0 + r0 * np.cos(th), py, pz0 + r0 * np.sin(th)], 1)
+        nrm = np.stack([np.cos(th), np.zeros(m), np.sin(th)], 1)
+        shade = 0.25 + 0.25 * _value_noise(t, th / (2 * np.pi), rng,
+                                           octaves=3, base_freq=9)
+        rgb = np.stack([shade * 1.1, shade * 0.8, shade * 0.6], 1)
+        sc = np.full((m, 3), 0.035)
+        sc[:, 2] = 0.006
+        add(pts, np.clip(rgb, 0.02, 0.98), _normal_quat(nrm), sc)
+
+    for i in range(n_poles):
+        a = np.asarray(pole_tops[i])
+        b = np.asarray(pole_tops[(i + 1) % n_poles])
+        m = 260
+        t = np.linspace(0, 1, m)
+        pts = a[None] * (1 - t[:, None]) + b[None] * t[:, None]
+        pts[:, 1] -= 0.18 * np.sin(np.pi * t)  # sag
+        rgb = np.full((m, 3), 0.12)
+        q = np.zeros((m, 4), np.float32)
+        q[:, 0] = 1.0
+        sc = np.full((m, 3), 0.012)
+        add(pts, rgb, q, sc)
+
+    xyz = np.concatenate(xyz_l)
+    rgb = np.concatenate(rgb_l)
+    quats = np.concatenate(quat_l)
+    scales = np.concatenate(scale_l)
+    n_total = len(xyz)
+
+    scene = from_points(xyz, rgb, capacity=n_total, sh_degree=3)
+    # view-dependent color: smooth per-splat SH bands 1-2 (band 3 zero) —
+    # a reconstruction with wrong SH>=2 gradients cannot fit these
+    f_rest = np.zeros((n_total, 15, 3), np.float32)
+    f_rest[:, 0:3, :] = rng.normal(scale=0.12, size=(n_total, 3, 3))
+    f_rest[:, 3:8, :] = rng.normal(scale=0.06, size=(n_total, 5, 3))
+    op_logit = np.full((n_total, 1), 6.0, np.float32)
+    scene = dataclasses.replace(
+        scene,
+        params=dataclasses.replace(
+            scene.params,
+            scales=jnp.asarray(np.log(scales)),
+            opacity=jnp.asarray(op_logit),
+            quats=jnp.asarray(quats),
+            features_rest=jnp.asarray(f_rest),
+        ),
+        active_sh_degree=jnp.asarray(3, jnp.int32),
+    )
+    print(f"hard GT: {n_total} surface splats, SH bands 1-2 live, "
+          f"{n_poles} poles + wires")
+    return scene
+
+
 def orbit_pose(i: int, n: int, radius: float, seed: int = 0,
                heights=(0.45, 1.1), target=(0.0, 0.0, 0.0)):
     """world->cam [R|t] rows for camera i on a two-height orbit ring."""
@@ -335,7 +512,8 @@ def main():
     ap.add_argument("--fov-deg", type=float, default=60.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
-        "--style", default="clusters", choices=["clusters", "textured"],
+        "--style", default="clusters",
+        choices=["clusters", "textured", "hard"],
         help="clusters: volumetric random splats (screen-stat proxy); "
         "textured: opaque procedural-texture surfaces (held-out PSNR is a "
         "real generalization metric)",
@@ -364,6 +542,9 @@ def main():
     if args.style == "textured":
         gt = make_gt_scene_textured(seed=args.seed)
         args.n_splats = int(gt.params.xyz.shape[0])
+    elif args.style == "hard":
+        gt = make_gt_scene_hard(seed=args.seed)
+        args.n_splats = int(gt.params.xyz.shape[0])
     else:
         gt = make_gt_scene(args.n_splats, sh_degree=0, seed=args.seed)
     raster = resolve_rasterizer("auto")
@@ -384,7 +565,7 @@ def main():
 
     render_jit = make_render(TilingConfig(max_pairs=max_pairs))
     pose_kw = {}
-    if args.style == "textured":
+    if args.style in ("textured", "hard"):
         # elevated ring looking at the ground plane: the textured surfaces
         # fill the frame (black background would inflate held-out PSNR)
         pose_kw = dict(heights=(1.7, 2.8), target=(0.0, -1.0, 0.0))

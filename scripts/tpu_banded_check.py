@@ -36,7 +36,21 @@ def main():
     parser.add_argument("--bands", type=int, default=2)
     parser.add_argument("--out", default="artifacts/tpu_banded_check.json")
     args = parser.parse_args()
+    rec = run_check(args.width, args.height, args.splats, args.bands, args.out)
+    if not rec["ok"]:
+        raise SystemExit(1)
 
+
+def run_check(width=512, height=384, splats=100_000, bands=2,
+              out="artifacts/tpu_banded_check.json"):
+    """Callable form (bench.py runs this as a sidecar each round so the
+    compiled-banded-kernel evidence tracks kernel changes — VERDICT r4 #8)."""
+
+    class args:  # keep the body's arg references intact
+        pass
+
+    args.width, args.height = width, height
+    args.splats, args.bands, args.out = splats, bands, out
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
@@ -195,8 +209,7 @@ def main():
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(rec, indent=2))
     print(f"wrote {args.out}: ok={rec['ok']}")
-    if not rec["ok"]:
-        raise SystemExit(1)
+    return rec
 
 
 class _View:
