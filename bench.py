@@ -220,6 +220,15 @@ def roofline_ms(pairs: int, block: int, n_splats: int, w: int, h: int):
       current measured per-pair rate (14.1 ns/pair across expansion +
       destinations + histogram) — what a zero-XLA-glue, zero-dispatch-gap
       step would cost without inventing new kernels.
+
+    NOTE: the model is FROZEN at its round-3 constants so pct_of_roofline
+    is comparable round over round. Two of its terms are now stale in our
+    favour: the binning term models the round-3 three-kernel pipeline
+    (14.1 ns/pair) while round 5's lone expansion kernel measures
+    ~5.8 ns/pair, and the compositor 'best rates' were measured on an
+    early-stop-heavy scene (full-walk scenes like the bench's run lower).
+    The honest absolute numbers live in BASELINE.md's per-op device
+    profiles; this fraction only tracks relative progress.
     """
     pair_px = pairs * block * block
     comp_ms = 1e3 * (pair_px / 413e9 + pair_px / 275e9)

@@ -27,7 +27,7 @@ def test_headtohead_trajectories_match(tmp_path, monkeypatch):
         ],
     )
     headtohead.main()
-    rec = json.loads((tmp_path / "headtohead.json").read_text())
+    rec = json.loads((tmp_path / "headtohead_l1.json").read_text())
     assert rec["verdict"] == "PASS"
     for row in rec["table"]:
         # identical init + deterministic view order: the frameworks track
